@@ -1,0 +1,370 @@
+"""InternLM2-style decoder-only LLM, TPU-native.
+
+Architecture parity with the reference implementation
+(/root/reference/InternVL/modeling_internlm2.py):
+  - GQA attention with fused-wqkv semantics (:281-430) — stored here as split
+    wq/wk/wv (the weight converter de-interleaves the reference layout
+    ``(h_kv, groups+2, d)``, :364-373).
+  - RoPE, rotate-half convention, theta from config (:147-258). Dynamic-NTK
+    rescaling kicks in only beyond ``max_position_embeddings`` (:216-233).
+  - SwiGLU MLP w1/w3/w2 (:250-264), RMSNorm fp32 (:135-144), untied lm head.
+
+TPU-native design choices (not in the reference):
+  - Layers are scan-stacked: params carry a leading ``[num_layers]`` axis and
+    the forward uses ``jax.lax.scan`` — O(1) compile time in depth.
+  - KV cache is a preallocated static-shape buffer updated with
+    ``dynamic_update_slice`` inside jit; HF's growing-tensor cache would
+    recompile every step under XLA.
+  - Three entry points with distinct static structure so XLA compiles each
+    once: ``forward`` (training/no-cache), ``prefill`` (offset-0 cache fill,
+    Pallas flash kernel), ``decode_step`` (single token, traced offset).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from callireader_tpu.core.config import LLMConfig
+from callireader_tpu.core.dtypes import DTypePolicy, DEFAULT_POLICY
+from callireader_tpu.kernels.attention import attention_reference, flash_attention
+
+Params = Dict[str, Any]
+
+
+# ---------------------------------------------------------------------------
+# init / sharding annotations
+# ---------------------------------------------------------------------------
+
+
+def init_params(key: jax.Array, cfg: LLMConfig, dtype=jnp.bfloat16) -> Params:
+    """Random-init a parameter pytree (layers stacked on axis 0)."""
+    L, E, M = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    V = cfg.vocab_size
+    ks = jax.random.split(key, 9)
+    init = jax.nn.initializers.normal(0.02)
+
+    def w(k, shape):
+        return init(k, shape, jnp.float32).astype(dtype)
+
+    return {
+        "tok_embeddings": w(ks[0], (V, E)),
+        "layers": {
+            "attn_norm": jnp.ones((L, E), dtype),
+            "ffn_norm": jnp.ones((L, E), dtype),
+            "wq": w(ks[1], (L, E, Hq * D)),
+            "wk": w(ks[2], (L, E, Hkv * D)),
+            "wv": w(ks[3], (L, E, Hkv * D)),
+            "wo": w(ks[4], (L, Hq * D, E)),
+            "w1": w(ks[5], (L, E, M)),
+            "w3": w(ks[6], (L, E, M)),
+            "w2": w(ks[7], (L, M, E)),
+        },
+        "norm": jnp.ones((E,), dtype),
+        "output": w(ks[8], (V, E)),  # untied lm head
+    }
+
+
+def logical_axes(cfg: LLMConfig) -> Params:
+    """Logical sharding annotations, same tree structure as params."""
+    del cfg
+    return {
+        "tok_embeddings": ("vocab", "embed"),
+        "layers": {
+            "attn_norm": ("stack", "norm"),
+            "ffn_norm": ("stack", "norm"),
+            "wq": ("stack", "embed", "qkv"),
+            "wk": ("stack", "embed", "qkv"),
+            "wv": ("stack", "embed", "qkv"),
+            "wo": ("stack", "qkv", "embed"),
+            "w1": ("stack", "embed", "mlp"),
+            "w3": ("stack", "embed", "mlp"),
+            "w2": ("stack", "mlp", "embed"),
+        },
+        "norm": ("norm",),
+        "output": ("vocab", "embed"),
+    }
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+def rms_norm(x: jax.Array, weight: jax.Array, eps: float, policy: DTypePolicy) -> jax.Array:
+    xf = x.astype(policy.norm_dtype)
+    var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+    y = xf * jax.lax.rsqrt(var + eps)
+    return (y.astype(x.dtype) * weight.astype(x.dtype)).astype(policy.compute_dtype)
+
+
+def rope_inv_freq(cfg: LLMConfig, kv_seq_len: int) -> jnp.ndarray:
+    """Inverse frequencies; dynamic-NTK base rescale past the training window
+    (modeling_internlm2.py:216-233). ``kv_seq_len`` is static."""
+    base = cfg.rope_theta
+    if cfg.rope_scaling_type == "dynamic" and kv_seq_len > cfg.max_position_embeddings:
+        f = cfg.rope_scaling_factor
+        base = base * (
+            (f * kv_seq_len / cfg.max_position_embeddings) - (f - 1)
+        ) ** (cfg.head_dim / (cfg.head_dim - 2))
+    return 1.0 / (base ** (jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim))
+
+
+def rope_cos_sin(positions: jax.Array, inv_freq: jnp.ndarray) -> Tuple[jax.Array, jax.Array]:
+    """positions (B, S) int -> cos/sin (B, S, head_dim), rotate-half layout."""
+    freqs = positions[..., None].astype(jnp.float32) * inv_freq  # (B,S,D/2)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
+    """x (B, H, S, D); cos/sin (B, S, D). rotate_half convention."""
+    cos = cos[:, None].astype(jnp.float32)
+    sin = sin[:, None].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    half = x.shape[-1] // 2
+    x1, x2 = xf[..., :half], xf[..., half:]
+    rotated = jnp.concatenate([-x2, x1], axis=-1)
+    return (xf * cos + rotated * sin).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# KV cache
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class KVCache:
+    k: jax.Array  # (L, B, Hkv, max_len, D)
+    v: jax.Array
+    length: jax.Array  # () int32 — number of valid positions
+
+    @classmethod
+    def create(cls, cfg: LLMConfig, batch: int, max_len: int, dtype=jnp.bfloat16) -> "KVCache":
+        shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len, cfg.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype), jnp.zeros((), jnp.int32))
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[3]
+
+
+jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v", "length"], meta_fields=[])
+
+
+# ---------------------------------------------------------------------------
+# core layer stack
+# ---------------------------------------------------------------------------
+
+
+def _qkv(p, h, cfg: LLMConfig):
+    B, S, _ = h.shape
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    q = (h @ p["wq"].astype(h.dtype)).reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
+    k = (h @ p["wk"].astype(h.dtype)).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+    v = (h @ p["wv"].astype(h.dtype)).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+    return q, k, v
+
+
+def _mlp(p, x, cfg: LLMConfig, policy: DTypePolicy):
+    h = rms_norm(x, p["ffn_norm"], cfg.rms_norm_eps, policy)
+    gate = jax.nn.silu(h @ p["w1"].astype(h.dtype))
+    up = h @ p["w3"].astype(h.dtype)
+    return x + (gate * up) @ p["w2"].astype(h.dtype)
+
+
+def _run_layers(params, cfg, x, cos, sin, attn_fn, policy, remat: bool = False):
+    """Scan over stacked layers. ``attn_fn(q, k, v, layer_idx) -> (ctx, new_ck, new_cv)``."""
+
+    def body(carry, scanned):
+        x, idx = carry
+        p = scanned
+        h = rms_norm(x, p["attn_norm"], cfg.rms_norm_eps, policy)
+        q, k, v = _qkv(p, h, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        ctx, new_ck, new_cv = attn_fn(q, k, v, idx)
+        B, S = x.shape[:2]
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, -1)
+        x = x + ctx @ p["wo"].astype(ctx.dtype)
+        x = _mlp(p, x, cfg, policy)
+        return (x, idx + 1), (new_ck, new_cv)
+
+    if remat:
+        body = jax.checkpoint(body)
+    (x, _), kv = jax.lax.scan(body, (x, jnp.zeros((), jnp.int32)), params["layers"])
+    return x, kv
+
+
+def _embed(params, input_ids, inputs_embeds, policy):
+    if inputs_embeds is None:
+        inputs_embeds = jnp.take(params["tok_embeddings"], input_ids, axis=0)
+    return inputs_embeds.astype(policy.compute_dtype)
+
+
+def _logits(params, x, policy):
+    return (x @ params["output"].T.astype(x.dtype)).astype(policy.logits_dtype)
+
+
+# ---------------------------------------------------------------------------
+# entry points
+# ---------------------------------------------------------------------------
+
+
+def forward(
+    params: Params,
+    cfg: LLMConfig,
+    *,
+    input_ids: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    positions: Optional[jax.Array] = None,
+    segment_ids: Optional[jax.Array] = None,
+    policy: DTypePolicy = DEFAULT_POLICY,
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
+    remat: bool = False,
+    return_hidden: bool = False,
+) -> jax.Array:
+    """Full-sequence forward (training / eval). Returns logits (B,S,V) fp32,
+    or final hidden states if ``return_hidden``."""
+    x = _embed(params, input_ids, inputs_embeds, policy)
+    B, S, _ = x.shape
+    if positions is None:
+        positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+    cos, sin = rope_cos_sin(positions, rope_inv_freq(cfg, S))
+    if use_flash is None:
+        use_flash = jax.devices()[0].platform == "tpu"
+
+    def attn_fn(q, k, v, idx):
+        del idx
+        if use_flash:
+            ctx = flash_attention(
+                q, k, v, causal=True,
+                q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+                interpret=interpret,
+            )
+        else:
+            ctx = attention_reference(
+                q, k, v, causal=True,
+                q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+            )
+        return ctx, jnp.zeros((), x.dtype), jnp.zeros((), x.dtype)
+
+    x, _ = _run_layers(params, cfg, x, cos, sin, attn_fn, policy, remat=remat)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
+    if return_hidden:
+        return x
+    return _logits(params, x, policy)
+
+
+def prefill(
+    params: Params,
+    cfg: LLMConfig,
+    *,
+    input_ids: Optional[jax.Array] = None,
+    inputs_embeds: Optional[jax.Array] = None,
+    attention_mask: Optional[jax.Array] = None,  # (B, S) 1=valid (left-padded)
+    max_len: int = 2048,
+    cache_dtype=jnp.bfloat16,
+    policy: DTypePolicy = DEFAULT_POLICY,
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
+) -> Tuple[jax.Array, KVCache]:
+    """Process the prompt, build a fresh KV cache of capacity ``max_len``.
+
+    Returns (last_logits (B, V), cache). Left-padding via ``attention_mask``:
+    padded positions get segment id -1 (never attended) and position 0.
+    """
+    x = _embed(params, input_ids, inputs_embeds, policy)
+    B, S, _ = x.shape
+    if attention_mask is None:
+        attention_mask = jnp.ones((B, S), jnp.int32)
+    attention_mask = attention_mask.astype(jnp.int32)
+
+    # positions count valid tokens only (HF generate semantics with padding)
+    positions = jnp.clip(jnp.cumsum(attention_mask, axis=1) - 1, 0, None)
+    segment_ids = jnp.where(attention_mask > 0, 0, -1).astype(jnp.int32)
+
+    cos, sin = rope_cos_sin(positions, rope_inv_freq(cfg, max(S, 1)))
+    if use_flash is None:
+        use_flash = jax.devices()[0].platform == "tpu"
+
+    cache = KVCache.create(cfg, B, max_len, cache_dtype)
+
+    def attn_fn(q, k, v, idx):
+        if use_flash:
+            ctx = flash_attention(
+                q, k, v, causal=True,
+                q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+                interpret=interpret,
+            )
+        else:
+            ctx = attention_reference(
+                q, k, v, causal=True,
+                q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+            )
+        pad = max_len - S
+        ck = jnp.pad(k.astype(cache_dtype), ((0, 0), (0, 0), (0, pad), (0, 0)))
+        cv = jnp.pad(v.astype(cache_dtype), ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return ctx, ck, cv
+
+    x, (ck, cv) = _run_layers(params, cfg, x, cos, sin, attn_fn, policy)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
+    last_logits = _logits(params, x[:, -1:, :], policy)[:, 0]
+
+    cache = KVCache(k=ck, v=cv, length=jnp.asarray(S, jnp.int32))
+    return last_logits, cache
+
+
+def decode_step(
+    params: Params,
+    cfg: LLMConfig,
+    *,
+    input_ids: Optional[jax.Array] = None,  # (B, 1)
+    inputs_embeds: Optional[jax.Array] = None,  # (B, 1, E)
+    cache: KVCache,
+    kv_valid_mask: Optional[jax.Array] = None,  # (B, max_len) 1=attendable
+    positions: Optional[jax.Array] = None,  # (B, 1)
+    policy: DTypePolicy = DEFAULT_POLICY,
+) -> Tuple[jax.Array, KVCache]:
+    """One autoregressive step. Returns (logits (B, V), updated cache)."""
+    x = _embed(params, input_ids, inputs_embeds, policy)
+    B, S, _ = x.shape
+    max_len = cache.max_len
+    if positions is None:
+        positions = jnp.broadcast_to(cache.length[None, None], (B, S))
+    cos, sin = rope_cos_sin(positions, rope_inv_freq(cfg, max_len))
+
+    slot = jnp.arange(max_len)[None, :]
+    if kv_valid_mask is None:
+        kv_valid_mask = (slot <= cache.length).astype(jnp.int32)
+        kv_valid_mask = jnp.broadcast_to(kv_valid_mask, (B, max_len))
+    else:
+        # the freshly written position must be attendable
+        kv_valid_mask = jnp.where(slot == cache.length, 1, kv_valid_mask)
+    kv_seg = jnp.where(kv_valid_mask > 0, 0, -9).astype(jnp.int32)
+    q_seg = jnp.zeros((B, S), jnp.int32)
+
+    def attn_fn(q, k, v, idx):
+        ck = jax.lax.dynamic_update_slice(
+            cache.k[idx], k.astype(cache.k.dtype), (0, 0, cache.length, 0)
+        )
+        cv = jax.lax.dynamic_update_slice(
+            cache.v[idx], v.astype(cache.v.dtype), (0, 0, cache.length, 0)
+        )
+        ctx = attention_reference(
+            q, ck.astype(q.dtype), cv.astype(q.dtype),
+            causal=False,  # masking fully handled by kv_seg validity
+            q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+        )
+        return ctx, ck, cv
+
+    x, (ck, cv) = _run_layers(params, cfg, x, cos, sin, attn_fn, policy)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
+    logits = _logits(params, x, policy)[:, 0]
+    return logits, KVCache(k=ck, v=cv, length=cache.length + 1)

@@ -1,0 +1,173 @@
+"""InternViT-style vision encoder, TPU-native.
+
+Parity target: /root/reference/InternVL/modeling_intern_vit.py
+  - conv patch embed + CLS token + interpolated pos embeds (:138-179)
+  - pre-norm encoder layers with layer-scale ls1/ls2 (:271-300)
+  - packed-QKV flash attention, non-causal (:40-101, :182-253)
+
+TPU-native choices:
+  - NHWC image layout; the stride==kernel conv is expressed as a patch
+    reshape + single matmul (one big MXU op instead of an implicit im2col).
+  - layers scan-stacked as in internlm2.py.
+  - attention via the shared Pallas flash kernel (non-causal path).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from callireader_tpu.core.config import VisionConfig
+from callireader_tpu.core.dtypes import DTypePolicy, DEFAULT_POLICY
+from callireader_tpu.kernels.attention import attention_reference, flash_attention
+
+Params = Dict[str, Any]
+
+
+def init_params(key: jax.Array, cfg: VisionConfig, dtype=jnp.bfloat16) -> Params:
+    L, E, M = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    P, C = cfg.patch_size, cfg.num_channels
+    n_pos = cfg.num_patches + 1
+    ks = jax.random.split(key, 8)
+    init = jax.nn.initializers.normal(cfg.initializer_range)
+
+    def w(k, shape):
+        return init(k, shape, jnp.float32).astype(dtype)
+
+    return {
+        "patch_embed": {
+            "kernel": w(ks[0], (C * P * P, E)),  # (c*kh*kw, E), torch order
+            "bias": jnp.zeros((E,), dtype),
+        },
+        "cls_token": w(ks[1], (1, 1, E)),
+        "pos_embed": w(ks[2], (1, n_pos, E)),
+        "layers": {
+            "norm1_scale": jnp.ones((L, E), dtype),
+            "norm1_bias": jnp.zeros((L, E), dtype),
+            "norm2_scale": jnp.ones((L, E), dtype),
+            "norm2_bias": jnp.zeros((L, E), dtype),
+            "qkv_kernel": w(ks[3], (L, E, 3 * E)),
+            "qkv_bias": jnp.zeros((L, 3 * E), dtype),
+            "proj_kernel": w(ks[4], (L, E, E)),
+            "proj_bias": jnp.zeros((L, E), dtype),
+            "fc1_kernel": w(ks[5], (L, E, M)),
+            "fc1_bias": jnp.zeros((L, M), dtype),
+            "fc2_kernel": w(ks[6], (L, M, E)),
+            "fc2_bias": jnp.zeros((L, E), dtype),
+            "ls1": jnp.ones((L, E), dtype),
+            "ls2": jnp.ones((L, E), dtype),
+        },
+    }
+
+
+def logical_axes(cfg: VisionConfig) -> Params:
+    del cfg
+    lx = {
+        "norm1_scale": ("stack", "norm"), "norm1_bias": ("stack", "norm"),
+        "norm2_scale": ("stack", "norm"), "norm2_bias": ("stack", "norm"),
+        "qkv_kernel": ("stack", "vit_embed", "qkv"), "qkv_bias": ("stack", "qkv"),
+        "proj_kernel": ("stack", "qkv", "vit_embed"), "proj_bias": ("stack", "norm"),
+        "fc1_kernel": ("stack", "vit_embed", "vit_mlp"), "fc1_bias": ("stack", "vit_mlp"),
+        "fc2_kernel": ("stack", "vit_mlp", "vit_embed"), "fc2_bias": ("stack", "norm"),
+        "ls1": ("stack", "norm"), "ls2": ("stack", "norm"),
+    }
+    return {
+        "patch_embed": {"kernel": ("patch", "vit_embed"), "bias": ("norm",)},
+        "cls_token": (None, None, "vit_embed"),
+        "pos_embed": (None, None, "vit_embed"),
+        "layers": lx,
+    }
+
+
+def layer_norm(x, scale, bias, eps, policy: DTypePolicy):
+    xf = x.astype(policy.norm_dtype)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+    y = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(policy.norm_dtype) + bias.astype(policy.norm_dtype)).astype(
+        policy.compute_dtype
+    )
+
+
+def _patchify(pixel_values: jax.Array, patch: int) -> jax.Array:
+    """NHWC (B,H,W,C) -> (B, H/p * W/p, C*p*p) with torch conv flatten order
+    (c, kh, kw)."""
+    B, H, W, C = pixel_values.shape
+    x = pixel_values.reshape(B, H // patch, patch, W // patch, patch, C)
+    # -> (B, gh, gw, C, kh, kw)
+    x = x.transpose(0, 1, 3, 5, 2, 4)
+    return x.reshape(B, (H // patch) * (W // patch), C * patch * patch)
+
+
+def interp_pos_embed(pos_embed: jax.Array, grid_h: int, grid_w: int, base_grid: int) -> jax.Array:
+    """Bicubic-resize patch position embeddings (CLS kept as-is).
+    pos_embed (1, 1+base*base, E) -> (1, 1+gh*gw, E)."""
+    if grid_h == base_grid and grid_w == base_grid:
+        return pos_embed
+    cls, rest = pos_embed[:, :1], pos_embed[:, 1:]
+    E = rest.shape[-1]
+    grid = rest.reshape(1, base_grid, base_grid, E).astype(jnp.float32)
+    resized = jax.image.resize(grid, (1, grid_h, grid_w, E), method="bicubic")
+    resized = resized.reshape(1, grid_h * grid_w, E).astype(pos_embed.dtype)
+    return jnp.concatenate([cls, resized], axis=1)
+
+
+def forward(
+    params: Params,
+    cfg: VisionConfig,
+    pixel_values: jax.Array,  # (B, H, W, C) NHWC
+    *,
+    policy: DTypePolicy = DEFAULT_POLICY,
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
+    remat: bool = False,
+) -> jax.Array:
+    """Returns last hidden state (B, 1+num_patches, E)."""
+    B, H, W, _ = pixel_values.shape
+    P = cfg.patch_size
+    gh, gw = H // P, W // P
+    base = cfg.image_size // P
+
+    x = _patchify(pixel_values.astype(policy.compute_dtype), P)
+    x = x @ params["patch_embed"]["kernel"].astype(x.dtype)
+    x = x + params["patch_embed"]["bias"].astype(x.dtype)
+
+    cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype), (B, 1, x.shape[-1]))
+    x = jnp.concatenate([cls, x], axis=1)
+    pos = interp_pos_embed(params["pos_embed"], gh, gw, base)
+    x = x + pos.astype(x.dtype)
+
+    if use_flash is None:
+        use_flash = jax.devices()[0].platform == "tpu"
+    Hn, Dh = cfg.num_attention_heads, cfg.head_dim
+    S = x.shape[1]
+
+    def body(carry, p):
+        x = carry
+        h = layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps, policy)
+        qkv = h @ p["qkv_kernel"].astype(h.dtype) + p["qkv_bias"].astype(h.dtype)
+        qkv = qkv.reshape(B, S, 3, Hn, Dh)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+        if use_flash:
+            ctx = flash_attention(q, k, v, causal=False, interpret=interpret)
+        else:
+            ctx = attention_reference(q, k, v, causal=False)
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, Hn * Dh)
+        ctx = ctx @ p["proj_kernel"].astype(ctx.dtype) + p["proj_bias"].astype(ctx.dtype)
+        x = x + ctx * p["ls1"].astype(ctx.dtype)
+
+        h = layer_norm(x, p["norm2_scale"], p["norm2_bias"], cfg.layer_norm_eps, policy)
+        h = h @ p["fc1_kernel"].astype(h.dtype) + p["fc1_bias"].astype(h.dtype)
+        h = jax.nn.gelu(h, approximate=False)
+        h = h @ p["fc2_kernel"].astype(h.dtype) + p["fc2_bias"].astype(h.dtype)
+        x = x + h * p["ls2"].astype(h.dtype)
+        return x, None
+
+    if remat:
+        body = jax.checkpoint(body)
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return x

@@ -1,0 +1,189 @@
+"""OrderFormer: reading-order regression over character/column boxes.
+
+Parity target: /root/reference/models/model.py:210-526.
+  - Transformer: Linear(4->256) embed, 4x post-LN torch TransformerEncoderLayer
+    (8 heads, ffn 2048, ReLU), Linear(256->1) decode (:210-226).
+  - predict(): normalize boxes by page w/h, translate to min corner, sort by
+    distance to origin, pad to max_boxes, regress ranks, decode via double
+    argsort (:327-332, :419-472).
+  - postprocess(): re-permute sliding windows of 3 boxes that form a visual row
+    (:492-526).
+
+The model forward is jitted with a static box-capacity pad (50); all list/dict
+juggling stays host-side numpy — it is O(#columns) tiny.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from callireader_tpu.core.config import OrderFormerConfig
+from callireader_tpu.core.dtypes import DTypePolicy, FP32_POLICY
+from callireader_tpu.models.internvit import layer_norm
+
+Params = Dict[str, Any]
+LN_EPS = 1e-5
+
+
+def init_params(key: jax.Array, cfg: OrderFormerConfig, dtype=jnp.float32) -> Params:
+    L, E, F = cfg.num_layers, cfg.model_dim, cfg.ff_dim
+    ks = jax.random.split(key, 8)
+    init = jax.nn.initializers.xavier_uniform()
+
+    def w(k, shape):
+        return init(k, shape, jnp.float32).astype(dtype)
+
+    return {
+        "embed_kernel": w(ks[0], (cfg.input_dim, E)),
+        "embed_bias": jnp.zeros((E,), dtype),
+        "layers": {
+            "in_proj_kernel": w(ks[1], (L, E, 3 * E)),
+            "in_proj_bias": jnp.zeros((L, 3 * E), dtype),
+            "out_proj_kernel": w(ks[2], (L, E, E)),
+            "out_proj_bias": jnp.zeros((L, E), dtype),
+            "norm1_scale": jnp.ones((L, E), dtype),
+            "norm1_bias": jnp.zeros((L, E), dtype),
+            "norm2_scale": jnp.ones((L, E), dtype),
+            "norm2_bias": jnp.zeros((L, E), dtype),
+            "ff1_kernel": w(ks[3], (L, E, F)),
+            "ff1_bias": jnp.zeros((L, F), dtype),
+            "ff2_kernel": w(ks[4], (L, F, E)),
+            "ff2_bias": jnp.zeros((L, E), dtype),
+        },
+        "decode_kernel": w(ks[5], (E, cfg.output_dim)),
+        "decode_bias": jnp.zeros((cfg.output_dim,), dtype),
+    }
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def forward(params: Params, cfg: OrderFormerConfig, x: jax.Array) -> jax.Array:
+    """x (B, max_boxes, 4) -> rank scores (B, max_boxes, 1). fp32 math."""
+    policy: DTypePolicy = FP32_POLICY
+    x = x.astype(jnp.float32)
+    B, S, _ = x.shape
+    H = cfg.num_heads
+    E = cfg.model_dim
+    Dh = E // H
+
+    x = x @ params["embed_kernel"] + params["embed_bias"]
+
+    def body(x, p):
+        # torch post-LN encoder layer: x = norm1(x + attn(x)); x = norm2(x + ff(x))
+        qkv = x @ p["in_proj_kernel"] + p["in_proj_bias"]
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        s = jnp.einsum("bhid,bhjd->bhij", q, k) / (Dh**0.5)
+        a = jax.nn.softmax(s, axis=-1)
+        ctx = jnp.einsum("bhij,bhjd->bhid", a, v).transpose(0, 2, 1, 3).reshape(B, S, E)
+        ctx = ctx @ p["out_proj_kernel"] + p["out_proj_bias"]
+        x = layer_norm(x + ctx, p["norm1_scale"], p["norm1_bias"], LN_EPS, policy)
+
+        h = jax.nn.relu(x @ p["ff1_kernel"] + p["ff1_bias"])
+        h = h @ p["ff2_kernel"] + p["ff2_bias"]
+        x = layer_norm(x + h, p["norm2_scale"], p["norm2_bias"], LN_EPS, policy)
+        return x, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+    return x @ params["decode_kernel"] + params["decode_bias"]
+
+
+# ---------------------------------------------------------------------------
+# host-side predict pipeline
+# ---------------------------------------------------------------------------
+
+
+def _decode_ranks(scores: np.ndarray, n: int) -> np.ndarray:
+    """models/model.py:327-332 — double argsort => 1-based ranks."""
+    flat = scores.reshape(-1)[:n]
+    order = np.argsort(flat, kind="stable")
+    ranks = np.argsort(order, kind="stable")
+    return ranks + 1
+
+
+def _ordered_permute(b1, b2, b3):
+    """models/model.py:493-513 — right-to-left x order when three boxes sit on
+    one visual row of similar size, else keep order."""
+    hs = [b1[3] - b1[1], b2[3] - b2[1], b3[3] - b3[1]]
+    c = [[(b[0] + b[2]) / 2, (b[1] + b[3]) / 2] for b in (b1, b2, b3)]
+    s = [(b[2] - b[0]) * (b[3] - b[1]) for b in (b1, b2, b3)]
+    ymax_diff = max(
+        abs(c[0][1] - c[1][1]), abs(c[0][1] - c[2][1]), abs(c[1][1] - c[2][1])
+    )
+    if ymax_diff < min(hs) and (max(s) > 0 and min(s) / max(s) > 0.7):
+        vals = [c[0][0], c[1][0], c[2][0]]
+    else:
+        vals = [3, 2, 1]
+    idx = sorted(range(3), key=lambda i: vals[i], reverse=True)
+    return idx
+
+
+def postprocess(results: Dict[int, List[float]], width: float, height: float) -> Dict[int, List[float]]:
+    """Sliding-window-of-3 re-permutation (models/model.py:492-526)."""
+    keys = list(results.keys())
+    boxes = [
+        [b[0] / width, b[1] / height, b[2] / width, b[3] / height]
+        for b in results.values()
+    ]
+    for i in range(len(keys) - 2):
+        order = _ordered_permute(boxes[i], boxes[i + 1], boxes[i + 2])
+        j = keys[i]
+        boxes[i], boxes[i + 1], boxes[i + 2] = (
+            boxes[i + order[0]], boxes[i + order[1]], boxes[i + order[2]]
+        )
+        results[j], results[j + 1], results[j + 2] = (
+            results[j + order[0]], results[j + order[1]], results[j + order[2]]
+        )
+    return results
+
+
+def predict(
+    params: Params,
+    cfg: OrderFormerConfig,
+    shapes: List[Dict],  # labelme-style [{"points": [[x1,y1],[x2,y2]]}, ...]
+    image_width: float,
+    image_height: float,
+) -> Dict[int, List[float]]:
+    """Returns {rank: [x1,y1,x2,y2]} sorted by rank (models/model.py:419-488)."""
+    if not shapes:
+        return {}
+    w, h = image_width, image_height
+    entries = []
+    xs, ys = [], []
+    for obj in shapes:
+        p = obj["points"]
+        flat = [p[0][0], p[0][1], p[1][0], p[1][1]]
+        xs.extend([p[0][0] / w, p[1][0] / w])
+        ys.extend([p[0][1] / h, p[1][1] / h])
+        entries.append(flat)
+    xmin, ymin = min(xs), min(ys)
+    norm = []
+    for i, flat in enumerate(entries):
+        coord = [
+            xs[2 * i] - xmin, ys[2 * i] - ymin, xs[2 * i + 1] - xmin, ys[2 * i + 1] - ymin
+        ]
+        norm.append([coord, flat])
+    # unique ordering: sort by squared distance of box center to origin
+    norm.sort(key=lambda x: ((x[0][0] + x[0][2]) / 2) ** 2 + ((x[0][1] + x[0][3]) / 2) ** 2)
+
+    n = min(len(norm), cfg.max_boxes)
+    inputs = np.zeros((1, cfg.max_boxes, cfg.input_dim), np.float32)
+    labels = []
+    for i, (coord, flat) in enumerate(norm[:n]):
+        inputs[0, i] = coord
+        labels.append(flat)
+
+    scores = np.asarray(forward(params, cfg, jnp.asarray(inputs)))
+    ranks = _decode_ranks(scores, n)
+    results = {int(r): l for r, l in zip(ranks, labels)}
+    results = dict(sorted(results.items()))
+    results = postprocess(results, w, h)
+    return dict(sorted(results.items()))

@@ -1,0 +1,117 @@
+"""Perceiver resampler ("CalliAlign" core).
+
+Parity target: /root/reference/models/perceiver_resampler.py:8-100.
+(B, 256, 4096) image-patch features -> (B, 3, 4096) pseudo-text embeddings.
+
+Per layer: cross-attention where 3 learned queries attend over
+concat(media, learns) (reference :37), residual; LayerNorm-MLP, residual.
+Final LayerNorm. Learned queries are a (num_learns, dim) parameter.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+from callireader_tpu.core.config import ResamplerConfig
+from callireader_tpu.core.dtypes import DTypePolicy, DEFAULT_POLICY
+from callireader_tpu.models.internvit import layer_norm
+
+Params = Dict[str, Any]
+LN_EPS = 1e-5  # torch nn.LayerNorm default
+
+
+def init_params(key: jax.Array, cfg: ResamplerConfig, dtype=jnp.bfloat16) -> Params:
+    E = cfg.dim
+    inner = cfg.dim_head * cfg.heads
+    L = cfg.depth
+    ks = jax.random.split(key, 7)
+    init = jax.nn.initializers.normal(0.02)
+
+    def w(k, shape):
+        return init(k, shape, jnp.float32).astype(dtype)
+
+    return {
+        "learns": jax.random.normal(ks[0], (cfg.num_learns, E), jnp.float32).astype(dtype),
+        "layers": {
+            "norm_media_scale": jnp.ones((L, E), dtype),
+            "norm_media_bias": jnp.zeros((L, E), dtype),
+            "norm_learns_scale": jnp.ones((L, E), dtype),
+            "norm_learns_bias": jnp.zeros((L, E), dtype),
+            "to_q": w(ks[1], (L, E, inner)),
+            "to_kv": w(ks[2], (L, E, 2 * inner)),
+            "to_out": w(ks[3], (L, inner, E)),
+            "ff_norm_scale": jnp.ones((L, E), dtype),
+            "ff_norm_bias": jnp.zeros((L, E), dtype),
+            "ff1": w(ks[4], (L, E, cfg.ff_mult * E)),
+            "ff1_bias": jnp.zeros((L, cfg.ff_mult * E), dtype),
+            "ff2": w(ks[5], (L, cfg.ff_mult * E, E)),
+            "ff2_bias": jnp.zeros((L, E), dtype),
+        },
+        "norm_scale": jnp.ones((E,), dtype),
+        "norm_bias": jnp.zeros((E,), dtype),
+    }
+
+
+def logical_axes(cfg: ResamplerConfig) -> Params:
+    del cfg
+    return {
+        "learns": (None, "embed"),
+        "layers": {
+            "norm_media_scale": ("stack", "norm"), "norm_media_bias": ("stack", "norm"),
+            "norm_learns_scale": ("stack", "norm"), "norm_learns_bias": ("stack", "norm"),
+            "to_q": ("stack", "embed", "qkv"),
+            "to_kv": ("stack", "embed", "qkv"),
+            "to_out": ("stack", "qkv", "embed"),
+            "ff_norm_scale": ("stack", "norm"), "ff_norm_bias": ("stack", "norm"),
+            "ff1": ("stack", "embed", "mlp"), "ff1_bias": ("stack", "mlp"),
+            "ff2": ("stack", "mlp", "embed"), "ff2_bias": ("stack", "norm"),
+        },
+        "norm_scale": ("norm",), "norm_bias": ("norm",),
+    }
+
+
+def forward(
+    params: Params,
+    cfg: ResamplerConfig,
+    x: jax.Array,  # (B, N, E) media features
+    *,
+    policy: DTypePolicy = DEFAULT_POLICY,
+) -> jax.Array:
+    """-> (B, num_learns, E)."""
+    B = x.shape[0]
+    H, Dh = cfg.heads, cfg.dim_head
+    scale = Dh**-0.5
+    x = x.astype(policy.compute_dtype)
+    learns = jnp.broadcast_to(params["learns"].astype(x.dtype), (B, cfg.num_learns, cfg.dim))
+
+    def body(learns, p):
+        xm = layer_norm(x, p["norm_media_scale"], p["norm_media_bias"], LN_EPS, policy)
+        ln = layer_norm(learns, p["norm_learns_scale"], p["norm_learns_bias"], LN_EPS, policy)
+
+        q = ln @ p["to_q"].astype(ln.dtype)  # (B, n, inner)
+        kv_in = jnp.concatenate([xm, ln], axis=1)  # (B, N+n, E)
+        kv = kv_in @ p["to_kv"].astype(kv_in.dtype)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        def heads(t):
+            return t.reshape(B, t.shape[1], H, Dh).transpose(0, 2, 1, 3)
+
+        q, k, v = heads(q), heads(k), heads(v)
+        sim = jnp.einsum("bhid,bhjd->bhij", (q * scale).astype(jnp.float32), k.astype(jnp.float32))
+        sim = sim - jax.lax.stop_gradient(jnp.max(sim, axis=-1, keepdims=True))
+        attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhij,bhjd->bhid", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(B, -1, H * Dh)
+        learns = out @ p["to_out"].astype(out.dtype) + learns
+
+        h = layer_norm(learns, p["ff_norm_scale"], p["ff_norm_bias"], LN_EPS, policy)
+        h = h @ p["ff1"].astype(h.dtype) + p["ff1_bias"].astype(h.dtype)
+        h = jax.nn.gelu(h, approximate=False)
+        h = h @ p["ff2"].astype(h.dtype) + p["ff2_bias"].astype(h.dtype)
+        return learns + h, None
+
+    learns, _ = jax.lax.scan(body, learns, params["layers"])
+    return layer_norm(learns, params["norm_scale"], params["norm_bias"], LN_EPS, policy)

@@ -1,0 +1,168 @@
+"""Host-side image preprocessing with static-shape outputs.
+
+Parity targets in /root/reference/utils/utils.py:
+  - build_transform       :354-362  (resize 448 bicubic + ImageNet normalize)
+  - find_closest_aspect_ratio :365-378
+  - dynamic_preprocess    :381-417  (aspect-ratio tiling, max 12 + thumbnail)
+  - load_image            :463-478  (main image)
+  - load_image_2          :420-452  (char slices: scale max-edge into [200,350],
+                                     center-pad white to 448, tile + thumbnail)
+
+TPU-native design: everything returns numpy NHWC float32 arrays whose tile
+count is one of a small static bucket set, so the jitted vision tower compiles
+once per bucket instead of once per image. Actual resize runs on host (PIL,
+matching the reference's bicubic), normalization is folded in here so the
+device receives ready tensors.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import List, Sequence, Tuple, Union
+
+import numpy as np
+from PIL import Image, ImageOps
+
+IMAGENET_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+ImageLike = Union[str, Image.Image, np.ndarray]
+
+# static tile-count buckets (1..12 tiles + optional thumbnail)
+TILE_BUCKETS: Tuple[int, ...] = (1, 2, 3, 4, 5, 7, 9, 13)
+
+
+def open_image(image: ImageLike) -> Image.Image:
+    if isinstance(image, str):
+        return Image.open(image).convert("RGB")
+    if isinstance(image, bytes):
+        return Image.open(io.BytesIO(image)).convert("RGB")
+    if isinstance(image, np.ndarray):
+        return Image.fromarray(image).convert("RGB")
+    return image.convert("RGB") if image.mode != "RGB" else image
+
+
+def to_tensor_normalized(img: Image.Image, input_size: int) -> np.ndarray:
+    """resize bicubic -> [0,1] -> ImageNet normalize. Returns HWC f32."""
+    img = img.convert("RGB") if img.mode != "RGB" else img
+    img = img.resize((input_size, input_size), Image.BICUBIC)
+    arr = np.asarray(img, np.float32) / 255.0
+    return (arr - IMAGENET_MEAN) / IMAGENET_STD
+
+
+def find_closest_aspect_ratio(
+    aspect_ratio: float,
+    target_ratios: Sequence[Tuple[int, int]],
+    width: int,
+    height: int,
+    image_size: int,
+) -> Tuple[int, int]:
+    best_diff = float("inf")
+    best = (1, 1)
+    area = width * height
+    for ratio in target_ratios:
+        target = ratio[0] / ratio[1]
+        diff = abs(aspect_ratio - target)
+        if diff < best_diff:
+            best_diff = diff
+            best = ratio
+        elif diff == best_diff:
+            if area > 0.5 * image_size * image_size * ratio[0] * ratio[1]:
+                best = ratio
+    return best
+
+
+def dynamic_tile(
+    image: Image.Image,
+    min_num: int = 1,
+    max_num: int = 12,
+    image_size: int = 448,
+    use_thumbnail: bool = False,
+) -> List[Image.Image]:
+    """Aspect-ratio-aware tiling (reference dynamic_preprocess)."""
+    ow, oh = image.size
+    aspect = ow / oh
+    ratios = sorted(
+        {
+            (i, j)
+            for n in range(min_num, max_num + 1)
+            for i in range(1, n + 1)
+            for j in range(1, n + 1)
+            if min_num <= i * j <= max_num
+        },
+        key=lambda x: x[0] * x[1],
+    )
+    tw_r, th_r = find_closest_aspect_ratio(aspect, ratios, ow, oh, image_size)
+    tw, th = image_size * tw_r, image_size * th_r
+    blocks = tw_r * th_r
+    resized = image.resize((tw, th))
+    tiles = []
+    cols = tw // image_size
+    for i in range(blocks):
+        box = (
+            (i % cols) * image_size,
+            (i // cols) * image_size,
+            ((i % cols) + 1) * image_size,
+            ((i // cols) + 1) * image_size,
+        )
+        tiles.append(resized.crop(box))
+    if use_thumbnail and len(tiles) != 1:
+        tiles.append(image.resize((image_size, image_size)))
+    return tiles
+
+
+def load_image(
+    image: ImageLike, input_size: int = 448, max_num: int = 12, use_thumbnail: bool = True
+) -> np.ndarray:
+    """Main-image pipeline -> (num_tiles, H, W, C) f32 NHWC."""
+    img = open_image(image)
+    tiles = dynamic_tile(img, image_size=input_size, use_thumbnail=use_thumbnail, max_num=max_num)
+    return np.stack([to_tensor_normalized(t, input_size) for t in tiles])
+
+
+def load_char_slice(image: ImageLike, input_size: int = 448, max_num: int = 12) -> np.ndarray:
+    """Character-crop pipeline (reference load_image_2): scale longest edge into
+    [200, 350], center-pad white to 448, then tile (always 1 tile + no thumbnail
+    since the padded image is square 448). -> (num_tiles, H, W, C)."""
+    img = open_image(image)
+    w, h = img.size
+    m = max(w, h)
+    if m <= 200:
+        scale = 200 / m
+    elif m >= 350:
+        scale = 350 / m
+    else:
+        scale = 1.0
+    nw, nh = int(w * scale), int(h * scale)
+    img = img.resize((nw, nh))
+    img = ImageOps.expand(
+        img,
+        border=(
+            (input_size - nw) // 2,
+            (input_size - nh) // 2,
+            (input_size - nw + 1) // 2,
+            (input_size - nh + 1) // 2,
+        ),
+        fill=(255, 255, 255),
+    )
+    tiles = dynamic_tile(img, image_size=input_size, use_thumbnail=True, max_num=max_num)
+    return np.stack([to_tensor_normalized(t, input_size) for t in tiles])
+
+
+def bucket_tiles(n: int, buckets: Sequence[int] = TILE_BUCKETS) -> int:
+    """Smallest bucket >= n (compile-once-per-bucket batching)."""
+    for b in buckets:
+        if b >= n:
+            return b
+    return buckets[-1]
+
+
+def pad_to_bucket(tiles: np.ndarray, buckets: Sequence[int] = TILE_BUCKETS) -> Tuple[np.ndarray, int]:
+    """Pad tile stack (N,H,W,C) with zeros up to the bucket size. Returns
+    (padded, real_count)."""
+    n = tiles.shape[0]
+    b = bucket_tiles(n, buckets)
+    if b == n:
+        return tiles, n
+    pad = np.zeros((b - n,) + tiles.shape[1:], tiles.dtype)
+    return np.concatenate([tiles, pad], axis=0), n

@@ -1,0 +1,62 @@
+"""Flash-attention kernel vs XLA golden model (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from callireader_tpu.kernels.attention import attention_reference, flash_attention
+
+
+def _rand_qkv(key, B, Hq, Hkv, Sq, Sk, D, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (B, Hq, Sq, D), dtype)
+    k = jax.random.normal(k2, (B, Hkv, Sk, D), dtype)
+    v = jax.random.normal(k3, (B, Hkv, Sk, D), dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("Hq,Hkv", [(4, 4), (4, 2)])
+def test_flash_matches_reference(causal, Hq, Hkv):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), 2, Hq, Hkv, 128, 128, 64)
+    ref = attention_reference(q, k, v, causal=causal)
+    out = flash_attention(q, k, v, causal=causal, block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_unaligned_lengths_padding_masked():
+    # Sq/Sk not multiples of the block: padding must not leak into outputs.
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), 1, 2, 2, 100, 100, 32)
+    ref = attention_reference(q, k, v, causal=True)
+    out = flash_attention(q, k, v, causal=True, block_q=64, block_k=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_segment_ids_packed():
+    # Two packed sequences per row: cross-segment attention must be zero.
+    B, H, S, D = 1, 2, 128, 32
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), B, H, H, S, S, D)
+    seg = jnp.concatenate([jnp.zeros((B, 64), jnp.int32), jnp.ones((B, 64), jnp.int32)], axis=1)
+    ref = attention_reference(q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg)
+    out = flash_attention(
+        q, k, v, causal=True, q_segment_ids=seg, kv_segment_ids=seg,
+        block_q=32, block_k=32, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+    # Golden structural check: output for segment 1 equals attention run on
+    # segment 1 alone.
+    alone = attention_reference(q[:, :, 64:], k[:, :, 64:], v[:, :, 64:], causal=True)
+    np.testing.assert_allclose(np.asarray(out[:, :, 64:]), np.asarray(alone), atol=2e-5, rtol=2e-5)
+
+
+def test_decode_offset_reference():
+    # Single-token query against a longer KV with causal offset.
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), 1, 2, 2, 1, 16, 8)
+    out = attention_reference(q, k, v, causal=True, q_offset=7)
+    # positions > 7 must be ignored
+    k2 = k.at[:, :, 8:].set(999.0)
+    v2 = v.at[:, :, 8:].set(999.0)
+    out2 = attention_reference(q, k2, v2, causal=True, q_offset=7)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
