@@ -188,7 +188,9 @@ def callireader_tiny() -> VLMConfig:
             patch_size=14,
         ),
         llm=LLMConfig(
-            vocab_size=512,
+            # full vocab (+1 for <ALIGNED_TOKEN>=92553) so the real tokenizer's
+            # special-token ids stay in range in end-to-end tests
+            vocab_size=92554,
             hidden_size=64,
             intermediate_size=128,
             num_hidden_layers=2,
@@ -198,6 +200,7 @@ def callireader_tiny() -> VLMConfig:
         ),
         resampler=ResamplerConfig(dim=64, depth=2, dim_head=8, heads=4),
         orderformer=OrderFormerConfig(model_dim=32, num_layers=2, num_heads=4, ff_dim=64),
+        detector=DetectorConfig(img_size=64, max_detections=50),
         force_image_size=56,
     )
 

@@ -1,0 +1,429 @@
+"""CalliReader engine: the top-level VLM pipeline.
+
+API parity with InternVLChatModel (/root/reference/InternVL/modeling_internvl_chat.py):
+  chat_ocr   (:649-762)  full pipeline with slicing priors + CalliAlign
+  chat       (:955-1018) plain VLM chat (use_p=False path)
+  batch_chat (:903-951)  left-padded batched chat
+  calli_align(:321-640)  detector -> columns -> order -> char crops ->
+                         ViT features -> resampler -> cosine VQ -> denorm
+
+TPU-native structure: all device work flows through three jitted programs with
+bucketed static shapes —
+  1. vision_encode: ViT + pixel-shuffle projector over a tile batch
+  2. resample_vq:   perceiver resampler + VQ + Gaussian denorm over char batch
+  3. generate:      embed + splice + prefill(flash) + while_loop decode
+Host keeps only the inherently sequential box heuristics and PIL work.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from callireader_tpu.align import vq as vq_mod
+from callireader_tpu.core.config import VLMConfig
+from callireader_tpu.core.dtypes import DTypePolicy, DEFAULT_POLICY
+from callireader_tpu.models import detector as detector_mod
+from callireader_tpu.models import internvit, orderformer, projector, resampler
+from callireader_tpu.runtime import generate as gen
+from callireader_tpu.runtime.conversation import build_chat_prompt, get_conv_template
+from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer
+from callireader_tpu.vision import boxes as boxes_mod
+from callireader_tpu.vision import preprocess
+
+CHAR_BUCKETS = (8, 16, 32, 64, 128, 192, 256)
+IMG_START, IMG_END, IMG_CONTEXT = "<img>", "</img>", "<IMG_CONTEXT>"
+ALIGNED = "[UNUSED_TOKEN_140]"
+
+
+def init_all_params(key: jax.Array, cfg: VLMConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Random-init the full engine pytree (used for tests/benchmarks; real
+    deployments load via runtime.weights.convert_reference_checkpoint)."""
+    from callireader_tpu.models import internlm2
+
+    ks = jax.random.split(key, 7)
+    V, E = cfg.llm.vocab_size, cfg.llm.hidden_size
+    return {
+        "llm": internlm2.init_params(ks[0], cfg.llm, dtype),
+        "vision": internvit.init_params(ks[1], cfg.vision, dtype),
+        "projector": projector.init_params(ks[2], cfg, dtype),
+        "resampler": resampler.init_params(ks[3], cfg.resampler, dtype),
+        "orderformer": orderformer.init_params(ks[4], cfg.orderformer, jnp.float32),
+        "detector": detector_mod.init_params(ks[5], cfg.detector),
+        "align": {
+            "normed_emb": jax.random.normal(ks[6], (V, E), jnp.float32).astype(dtype),
+            "mu": jnp.zeros((V,), jnp.float32),
+            "sigma": jnp.ones((V,), jnp.float32),
+        },
+    }
+
+
+@dataclasses.dataclass
+class Timings:
+    spans: Dict[str, float] = dataclasses.field(default_factory=dict)
+
+    def add(self, name: str, dt: float):
+        self.spans[name] = self.spans.get(name, 0.0) + dt
+
+
+class CalliReaderEngine:
+    def __init__(
+        self,
+        cfg: VLMConfig,
+        params: Dict[str, Any],
+        tokenizer: InternLM2Tokenizer,
+        *,
+        policy: DTypePolicy = DEFAULT_POLICY,
+        use_flash: Optional[bool] = None,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.tok = tokenizer
+        self.policy = policy
+        self.use_flash = (
+            use_flash if use_flash is not None else jax.devices()[0].platform == "tpu"
+        )
+        self.detector = (
+            detector_mod.Detector(params["detector"], cfg.detector)
+            if "detector" in params
+            else None
+        )
+        self._vision_encode = jax.jit(self._vision_encode_impl)
+        self._resample_vq = jax.jit(self._resample_vq_impl, static_argnames=("hard_vq",))
+        self._build_embeds = jax.jit(self._build_embeds_impl)
+        self.timings = Timings()
+
+    # ------------------------------------------------------------------
+    # jitted programs
+    # ------------------------------------------------------------------
+
+    def _vision_encode_impl(self, params, pixel_values):
+        """(N, H, W, C) tiles -> (N, num_image_token, E_llm)."""
+        hidden = internvit.forward(
+            params["vision"], self.cfg.vision, pixel_values,
+            policy=self.policy, use_flash=self.use_flash,
+        )
+        return projector.extract_feature(params["projector"], hidden, self.cfg, policy=self.policy)
+
+    def _resample_vq_impl(self, params, feats, hard_vq=False):
+        """(N, 256, E) -> pseudo embeds (N*3, E), indices (N, 3)."""
+        out = resampler.forward(params["resampler"], self.cfg.resampler, feats, policy=self.policy)
+        return vq_mod.calli_align_embed(
+            out,
+            params["align"]["normed_emb"],
+            params["align"]["mu"],
+            params["align"]["sigma"],
+            hard_vq=hard_vq,
+        )
+
+    def _build_embeds_impl(self, params, input_ids, img_embeds, pseudo_embeds):
+        """Token embed + double splice (<IMG_CONTEXT>=img, ALIGNED=pseudo)."""
+        embeds = jnp.take(params["llm"]["tok_embeddings"], input_ids, axis=0)
+        embeds = embeds.astype(self.policy.compute_dtype)
+        if img_embeds is not None:
+            embeds = vq_mod.splice_embeds(
+                embeds, input_ids, img_embeds, self.cfg.img_context_token_id
+            )
+        if pseudo_embeds is not None:
+            embeds = vq_mod.splice_embeds(
+                embeds, input_ids, pseudo_embeds, self.cfg.aligned_token_id
+            )
+        return embeds
+
+    # ------------------------------------------------------------------
+    # vision helpers
+    # ------------------------------------------------------------------
+
+    def encode_image_tiles(self, tiles: np.ndarray) -> jax.Array:
+        """Run ViT+projector over a (N,H,W,C) tile stack, bucket-padded."""
+        padded, n = preprocess.pad_to_bucket(tiles)
+        feats = self._vision_encode(self.params, jnp.asarray(padded))
+        return feats[:n]
+
+    def encode_char_slices(self, slices: np.ndarray) -> jax.Array:
+        padded, n = preprocess.pad_to_bucket(slices, CHAR_BUCKETS)
+        feats = self._vision_encode(self.params, jnp.asarray(padded))
+        return feats[:n]
+
+    # ------------------------------------------------------------------
+    # slicing priors + CalliAlign
+    # ------------------------------------------------------------------
+
+    def iterative_detect(self, image: np.ndarray) -> List[List[List[float]]]:
+        """Iterative YOLO with masking when a pass saturates >250 boxes
+        (modeling_internvl_chat.py:346-394). Returns pair-format boxes."""
+        img = image.copy()
+        h, w = img.shape[:2]
+        color = boxes_mod.most_frequent_rgb_fast(img)
+        flat_boxes: List[List[float]] = []
+        while True:
+            dets = self.detector(img)
+            to_mask = [[int(b[0]), int(b[1]), int(b[2]), int(b[3])] for b in dets]
+            flat_boxes.extend(to_mask)
+            if len(to_mask) > 250:
+                img = boxes_mod.mask_area(img, to_mask, color)
+            else:
+                break
+        pair = [
+            [[max(b[0], 0), max(b[1], 0)], [min(b[2], w), min(b[3], h)]] for b in flat_boxes
+        ]
+        return boxes_mod.dedup_boxes_iou(pair, 0.8)
+
+    def sort_boxes(self, image: np.ndarray, thres: float = 0.8) -> List[List[float]]:
+        """Detector -> columns -> OrderFormer ranks -> per-column y-sort
+        (modeling_internvl_chat.py:535-553). Returns flat char boxes in
+        reading order."""
+        h, w = image.shape[:2]
+        char_boxes = self.iterative_detect(image)
+        if not char_boxes:
+            return []
+        data = boxes_mod.char2col_with_kmeans(char_boxes, w, h)
+        col_order = orderformer.predict(
+            self.params["orderformer"], self.cfg.orderformer,
+            data["shapes"], w, h,
+        )
+        final: List[List[float]] = []
+        for _, col in col_order.items():
+            lst = []
+            for item in char_boxes:
+                flat = [item[0][0], item[0][1], item[1][0], item[1][1]]
+                if boxes_mod.calculate_iou(col, flat, mini=True) >= thres:
+                    lst.append(flat)
+            lst.sort(key=lambda b: (b[1] + b[3]) / 2)
+            final.extend(lst)
+        return final
+
+    def calli_align(
+        self,
+        image: np.ndarray,
+        *,
+        drop_zero: bool = False,
+        hard_vq: bool = False,
+        verbose: bool = False,
+    ) -> Tuple[Optional[np.ndarray], Optional[np.ndarray]]:
+        """Returns (pseudo_embeds (M, E) numpy, indices). M = 3 * #chars
+        (minus dropped zeros)."""
+        t0 = time.time()
+        ordered = self.sort_boxes(image)
+        self.timings.add("yolo_orderformer", time.time() - t0)
+        if not ordered:
+            return None, None
+
+        t0 = time.time()
+        crops = []
+        for x1, y1, x2, y2 in ordered:
+            x1, y1, x2, y2 = int(x1), int(y1), int(x2), int(y2)
+            if x2 <= x1 or y2 <= y1:
+                continue
+            crops.append(
+                preprocess.load_char_slice(image[y1:y2, x1:x2], self.cfg.force_image_size)[0]
+            )
+        if not crops:
+            return None, None
+        char_stack = np.stack(crops)  # (N, 448, 448, 3)
+        self.timings.add("char_crops", time.time() - t0)
+
+        t0 = time.time()
+        padded, n = preprocess.pad_to_bucket(char_stack, CHAR_BUCKETS)
+        feats = self._vision_encode(self.params, jnp.asarray(padded))
+        pseudo, indices = self._resample_vq(self.params, feats, hard_vq=hard_vq)
+        n_learns = self.cfg.resampler.num_learns
+        pseudo = np.asarray(pseudo[: n * n_learns])
+        indices = np.asarray(indices[:n])
+        self.timings.add("vit_resampler_vq", time.time() - t0)
+
+        if drop_zero:
+            flat_idx = indices.reshape(-1)
+            keep = flat_idx != 0
+            pseudo = pseudo[keep]
+        if verbose:
+            print(f"calli_align: {len(ordered)} chars -> {pseudo.shape[0]} pseudo tokens")
+        return pseudo, indices
+
+    # ------------------------------------------------------------------
+    # chat APIs
+    # ------------------------------------------------------------------
+
+    @staticmethod
+    def find_coordinates(text: str) -> List[int]:
+        return [int(n) for n in re.findall(r"\d+", text)]
+
+    def _tokenize_prompt(self, query: str) -> np.ndarray:
+        ids = self.tok.encode(query, add_bos=True)
+        return np.asarray(ids, np.int32)
+
+    def _generate(
+        self,
+        input_ids: np.ndarray,  # (S,)
+        img_embeds: Optional[jax.Array],
+        pseudo_embeds: Optional[np.ndarray],
+        gen_cfg: gen.GenerateConfig,
+    ) -> List[int]:
+        S = len(input_ids)
+        bucket = gen.bucket_length(S)
+        padded_ids = np.full((1, bucket), self.tok.pad_token_id, np.int32)
+        padded_ids[0, bucket - S :] = input_ids
+        mask = np.zeros((1, bucket), np.int32)
+        mask[0, bucket - S :] = 1
+
+        img = img_embeds.reshape(-1, img_embeds.shape[-1]) if img_embeds is not None else None
+        pseudo = jnp.asarray(pseudo_embeds) if pseudo_embeds is not None else None
+        embeds = self._build_embeds(self.params, jnp.asarray(padded_ids), img, pseudo)
+
+        max_cache = bucket + gen_cfg.max_new_tokens
+        t0 = time.time()
+        tokens, lengths = gen.generate_from_embeds(
+            self.params["llm"], self.cfg.llm, embeds, jnp.asarray(mask),
+            gen_cfg=gen_cfg, max_cache_len=max_cache,
+            policy=self.policy, use_flash=self.use_flash,
+        )
+        tokens = np.asarray(tokens)[0]
+        n = int(np.asarray(lengths)[0])
+        self.timings.add("decode", time.time() - t0)
+        return tokens[:n].tolist()
+
+    def _expand_image_tokens(self, query: str, num_patches_list: Sequence[int]) -> str:
+        for n in num_patches_list:
+            image_tokens = IMG_START + IMG_CONTEXT * self.cfg.num_image_token * n + IMG_END
+            query = query.replace("<image>", image_tokens, 1)
+        return query
+
+    def chat_ocr(
+        self,
+        image: Optional[Any],
+        question: str,
+        *,
+        history: Optional[List[Tuple[str, str]]] = None,
+        return_history: bool = False,
+        use_p: bool = True,
+        drop_zero: bool = False,
+        hard_vq: bool = False,
+        repetition_penalty: float = 1.5,
+        max_new_tokens: int = 1024,
+        region_wise: bool = False,
+        verbose: bool = False,
+    ):
+        """Full CalliReader chat (modeling_internvl_chat.py:649-762)."""
+        pixel_values = None
+        img_np = None
+        if image is not None:
+            img_np = np.asarray(preprocess.open_image(image))
+            if region_wise:
+                coords = self.find_coordinates(question)
+                x1, x2, y1, y2 = coords[:4]
+                img_np = img_np[y1:y2, x1:x2]
+                question = "输出图片中所有文字:"
+            pixel_values = preprocess.load_image(
+                img_np, self.cfg.force_image_size, self.cfg.max_dynamic_patch,
+                self.cfg.use_thumbnail,
+            )
+
+        pseudo = None
+        if use_p and img_np is not None:
+            pseudo, _ = self.calli_align(
+                img_np, drop_zero=drop_zero, hard_vq=hard_vq, verbose=verbose
+            )
+            if pseudo is None and region_wise:
+                return ("检测失败", history) if return_history else "检测失败"
+
+        if pixel_values is not None and "<image>" not in question:
+            question = "<image>\n" + question
+        if history is None and use_p and pseudo is not None and ALIGNED not in question:
+            question = question + ALIGNED * pseudo.shape[0]
+
+        num_patches_list = [pixel_values.shape[0]] if pixel_values is not None else []
+
+        conv = build_chat_prompt(question, history)
+        query = self._expand_image_tokens(conv.get_prompt(), num_patches_list)
+        input_ids = self._tokenize_prompt(query)
+
+        img_embeds = (
+            self.encode_image_tiles(pixel_values) if pixel_values is not None else None
+        )
+        gen_cfg = gen.GenerateConfig(
+            max_new_tokens=max_new_tokens,
+            eos_token_ids=(self.tok.convert_tokens_to_ids(conv.sep),),
+            pad_token_id=self.tok.pad_token_id,
+            repetition_penalty=repetition_penalty,
+        )
+        out_tokens = self._generate(input_ids, img_embeds, pseudo, gen_cfg)
+        response = self.tok.decode(out_tokens, skip_special_tokens=True)
+        response = response.split(conv.sep)[0].strip()
+
+        history = list(history or [])
+        history.append((question, response))
+        return (response, history) if return_history else response
+
+    def chat(
+        self,
+        image: Optional[Any],
+        question: str,
+        *,
+        history: Optional[List[Tuple[str, str]]] = None,
+        return_history: bool = False,
+        repetition_penalty: float = 1.0,
+        max_new_tokens: int = 1024,
+    ):
+        """Plain VLM chat, no CalliAlign (modeling_internvl_chat.py:955-1018)."""
+        return self.chat_ocr(
+            image, question, history=history, return_history=return_history,
+            use_p=False, repetition_penalty=repetition_penalty,
+            max_new_tokens=max_new_tokens,
+        )
+
+    def batch_chat(
+        self,
+        images: Sequence[Any],
+        questions: Sequence[str],
+        *,
+        repetition_penalty: float = 1.0,
+        max_new_tokens: int = 1024,
+    ) -> List[str]:
+        """Left-padded batched chat (modeling_internvl_chat.py:903-951).
+        All rows run in one prefill + one decode loop."""
+        assert len(images) == len(questions)
+        rows = []
+        conv_sep = get_conv_template(self.cfg.template).sep
+        for image, question in zip(images, questions):
+            pixel_values = preprocess.load_image(
+                image, self.cfg.force_image_size, self.cfg.max_dynamic_patch,
+                self.cfg.use_thumbnail,
+            )
+            q = "<image>\n" + question if "<image>" not in question else question
+            conv = build_chat_prompt(q, None)
+            query = self._expand_image_tokens(conv.get_prompt(), [pixel_values.shape[0]])
+            ids = self._tokenize_prompt(query)
+            img_embeds = self.encode_image_tiles(pixel_values)
+            embeds = self._build_embeds(
+                self.params, jnp.asarray(ids[None]),
+                img_embeds.reshape(-1, img_embeds.shape[-1]), None,
+            )
+            rows.append(np.asarray(embeds[0]))
+
+        pad_vec = np.asarray(
+            jnp.take(self.params["llm"]["tok_embeddings"], jnp.asarray([self.tok.pad_token_id]), axis=0)
+        )[0].astype(rows[0].dtype)
+        embeds, mask = gen.pad_embeds_left(rows, pad_vec)
+        gen_cfg = gen.GenerateConfig(
+            max_new_tokens=max_new_tokens,
+            eos_token_ids=(self.tok.convert_tokens_to_ids(conv_sep),),
+            pad_token_id=self.tok.pad_token_id,
+            repetition_penalty=repetition_penalty,
+        )
+        tokens, lengths = gen.generate_from_embeds(
+            self.params["llm"], self.cfg.llm, jnp.asarray(embeds), jnp.asarray(mask),
+            gen_cfg=gen_cfg, max_cache_len=embeds.shape[1] + max_new_tokens,
+            policy=self.policy, use_flash=self.use_flash,
+        )
+        tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+        out = []
+        for i in range(len(rows)):
+            text = self.tok.decode(tokens[i, : lengths[i]].tolist(), skip_special_tokens=True)
+            out.append(text.split(conv_sep)[0].strip())
+        return out

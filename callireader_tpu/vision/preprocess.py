@@ -122,15 +122,18 @@ def load_image(
 
 def load_char_slice(image: ImageLike, input_size: int = 448, max_num: int = 12) -> np.ndarray:
     """Character-crop pipeline (reference load_image_2): scale longest edge into
-    [200, 350], center-pad white to 448, then tile (always 1 tile + no thumbnail
-    since the padded image is square 448). -> (num_tiles, H, W, C)."""
+    [200, 350] (bounds scaled with input_size), center-pad white to input_size,
+    then tile (always 1 tile since the padded image is square input_size).
+    -> (num_tiles, H, W, C)."""
     img = open_image(image)
     w, h = img.size
+    lo = max(1, round(200 * input_size / 448))
+    hi = max(2, round(350 * input_size / 448))
     m = max(w, h)
-    if m <= 200:
-        scale = 200 / m
-    elif m >= 350:
-        scale = 350 / m
+    if m <= lo:
+        scale = lo / m
+    elif m >= hi:
+        scale = hi / m
     else:
         scale = 1.0
     nw, nh = int(w * scale), int(h * scale)
