@@ -162,20 +162,33 @@ jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v", "length"], meta
 # ---------------------------------------------------------------------------
 
 
+def _proj(p, h, name: str):
+    """Linear with optional LoRA adapter leaves ``{name}_lora_a/b`` and scale
+    ``lora_scale`` (train/lora.py). W_eff = W + scale * A @ B, computed as
+    (h@A)@B to stay low-rank."""
+    y = h @ p[name].astype(h.dtype)
+    a = p.get(f"{name}_lora_a")
+    if a is not None:
+        b = p[f"{name}_lora_b"]
+        scale = p["lora_scale"].astype(h.dtype)
+        y = y + ((h @ a.astype(h.dtype)) @ b.astype(h.dtype)) * scale
+    return y
+
+
 def _qkv(p, h, cfg: LLMConfig):
     B, S, _ = h.shape
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q = (h @ p["wq"].astype(h.dtype)).reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
-    k = (h @ p["wk"].astype(h.dtype)).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
-    v = (h @ p["wv"].astype(h.dtype)).reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+    q = _proj(p, h, "wq").reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
+    k = _proj(p, h, "wk").reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+    v = _proj(p, h, "wv").reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
     return q, k, v
 
 
 def _mlp(p, x, cfg: LLMConfig, policy: DTypePolicy):
     h = rms_norm(x, p["ffn_norm"], cfg.rms_norm_eps, policy)
-    gate = jax.nn.silu(h @ p["w1"].astype(h.dtype))
-    up = h @ p["w3"].astype(h.dtype)
-    return x + (gate * up) @ p["w2"].astype(h.dtype)
+    gate = jax.nn.silu(_proj(p, h, "w1"))
+    up = _proj(p, h, "w3")
+    return x + _proj(p, gate * up, "w2")
 
 
 def _run_layers(params, cfg, x, cos, sin, attn_fn, policy, remat: bool = False):
@@ -191,7 +204,7 @@ def _run_layers(params, cfg, x, cos, sin, attn_fn, policy, remat: bool = False):
         ctx, new_ck, new_cv = attn_fn(q, k, v, idx)
         B, S = x.shape[:2]
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, -1)
-        x = x + ctx @ p["wo"].astype(ctx.dtype)
+        x = x + _proj(p, ctx, "wo")
         x = _mlp(p, x, cfg, policy)
         return (x, idx + 1), (new_ck, new_cv)
 

@@ -42,7 +42,7 @@ def logical_axes(cfg: VLMConfig) -> Params:
     return {
         "ln_scale": ("norm",), "ln_bias": ("norm",),
         "fc1_kernel": ("vit_mlp", "embed"), "fc1_bias": ("norm",),
-        "fc2_kernel": ("embed", "embed"), "fc2_bias": ("norm",),
+        "fc2_kernel": ("embed", "mlp"), "fc2_bias": ("norm",),
     }
 
 

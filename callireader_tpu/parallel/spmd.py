@@ -1,0 +1,106 @@
+"""SPMD orchestration: mesh + sharded params + sharded train/infer programs.
+
+The TPU-native replacement for the reference's torchrun + DeepSpeed + NCCL
+stack (entry_point.py:274-293, engine/_strategy/deepspeed.py): a single
+controller builds one Mesh, annotates the param pytree with logical axes,
+and jits SPMD programs — GSPMD inserts every collective over ICI/DCN.
+
+Mesh axes: data (DP), fsdp (ZeRO-style param/optimizer sharding),
+tensor (TP), seq (Ulysses SP; see parallel/ulysses.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from callireader_tpu.core import partition as part
+from callireader_tpu.core.config import VLMConfig
+from callireader_tpu.models import internlm2, internvit, projector, resampler
+
+
+def make_mesh(shape: Optional[Mapping[str, int]] = None, devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if shape is None:
+        shape = {"data": n, "fsdp": 1, "tensor": 1, "seq": 1}
+    return part.make_mesh(shape, devices)
+
+
+def engine_logical_axes(cfg: VLMConfig, params: Dict[str, Any]) -> Dict[str, Any]:
+    """Logical-axis tree matching the engine param structure. Components
+    without bespoke annotations are replicated."""
+    axes: Dict[str, Any] = {}
+    for name, sub in params.items():
+        if name == "llm":
+            a = internlm2.logical_axes(cfg.llm)
+            # extend for any LoRA leaves present
+            for leaf in sub["layers"]:
+                if leaf not in a["layers"]:
+                    if leaf.endswith("_lora_a"):
+                        a["layers"][leaf] = ("stack", "embed", None)
+                    elif leaf.endswith("_lora_b"):
+                        a["layers"][leaf] = ("stack", None, None)
+                    else:
+                        a["layers"][leaf] = ("stack",)
+            axes[name] = a
+        elif name == "vision":
+            axes[name] = internvit.logical_axes(cfg.vision)
+        elif name == "projector":
+            axes[name] = projector.logical_axes(cfg)
+        elif name == "resampler":
+            axes[name] = resampler.logical_axes(cfg.resampler)
+        elif name == "align":
+            axes[name] = {"normed_emb": ("vocab", "embed"), "mu": (None,), "sigma": (None,)}
+        else:  # detector, orderformer: tiny — replicate
+            axes[name] = jax.tree.map(lambda _: None, sub)
+    return axes
+
+
+def shard_tree(tree: Any, axes: Any, mesh: Mesh, rules=part.DEFAULT_RULES) -> Any:
+    """device_put a pytree by logical annotations (None axes -> replicated)."""
+
+    def put(x, a):
+        spec = part.resolve_spec(a, rules, mesh)
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree.map(
+        put, tree, axes,
+        is_leaf=lambda x: x is None or (
+            isinstance(x, tuple) and all(isinstance(e, (str, type(None))) for e in x)
+        ),
+    )
+
+
+def batch_sharding(mesh: Mesh, seq_sharded: bool = False):
+    """Shard train batches: leading dim over data(+fsdp), optionally sequence
+    dim over seq."""
+
+    def spec_for(x):
+        if x.ndim >= 2 and seq_sharded and mesh.shape.get("seq", 1) > 1:
+            return NamedSharding(mesh, P(("data", "fsdp"), "seq"))
+        if x.ndim >= 1:
+            return NamedSharding(mesh, P(("data", "fsdp")))
+        return NamedSharding(mesh, P())
+
+    return spec_for
+
+
+def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh, seq_sharded: bool = False):
+    """Put a host batch onto the mesh. Token arrays (B, S) shard batch over
+    data×fsdp (and seq when requested); flat payload arrays (pixel_values,
+    pseudo_embeds) are replicated — their slot order is batch-global."""
+    out = {}
+    for k, v in batch.items():
+        if k in ("pixel_values", "pseudo_embeds"):
+            out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+        else:
+            spec = [None] * v.ndim
+            spec[0] = ("data", "fsdp")
+            if seq_sharded and v.ndim >= 2 and mesh.shape.get("seq", 1) > 1:
+                spec[1] = "seq"
+            out[k] = jax.device_put(v, NamedSharding(mesh, P(*spec)))
+    return out

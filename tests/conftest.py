@@ -15,4 +15,7 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# sitecustomize.py (axon TPU tunnel) force-sets jax_platforms="axon,cpu" at
+# interpreter startup; route tests to local CPU explicitly.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
