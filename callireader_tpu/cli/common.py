@@ -1,0 +1,59 @@
+"""Shared CLI plumbing: engine construction from checkpoints or random init."""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import Optional
+
+from callireader_tpu.core.config import VLMConfig, get_config
+from callireader_tpu.runtime.engine import CalliReaderEngine, init_all_params
+from callireader_tpu.runtime.tokenizer import DEFAULT_MODEL, InternLM2Tokenizer
+
+
+def build_engine(
+    *,
+    preset: str = "callireader-8b",
+    checkpoint_dir: Optional[str] = None,
+    mu_sigma_path: Optional[str] = None,
+    orderformer_path: Optional[str] = None,
+    tokenizer_path: str = DEFAULT_MODEL,
+    random_init_ok: bool = False,
+) -> CalliReaderEngine:
+    import jax
+    import jax.numpy as jnp
+
+    cfg = get_config(preset)
+    tok = InternLM2Tokenizer(tokenizer_path)
+
+    if checkpoint_dir and os.path.isdir(checkpoint_dir):
+        from callireader_tpu.runtime.weights import convert_reference_checkpoint
+
+        print(f"[engine] loading checkpoint from {checkpoint_dir}", file=sys.stderr)
+        params = convert_reference_checkpoint(
+            checkpoint_dir, cfg,
+            mu_sigma_path=mu_sigma_path,
+            orderformer_path=orderformer_path,
+            dtype=jnp.bfloat16,
+        )
+        # components absent from the checkpoint fall back to random init
+        missing = {"detector", "orderformer", "resampler", "align"} - set(params)
+        if missing:
+            print(f"[engine] random-initializing missing components: {missing}", file=sys.stderr)
+            rand = init_all_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+            for name in missing:
+                params[name] = rand[name]
+    elif random_init_ok:
+        print(
+            "[engine] WARNING: no checkpoint found — RANDOM weights (outputs are noise; "
+            "pipeline/perf testing only)",
+            file=sys.stderr,
+        )
+        params = init_all_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    else:
+        raise FileNotFoundError(
+            f"checkpoint_dir {checkpoint_dir!r} not found; pass --random-init to run "
+            "with random weights"
+        )
+
+    return CalliReaderEngine(cfg, params, tok)

@@ -1,0 +1,99 @@
+"""CalliBench evaluation CLI, flag-compatible with reference ``evaluate.py``.
+
+  python -m callireader_tpu.cli.evaluate --type full_page --data ./CalliBench \
+      --save_name exp
+
+Parity target: /root/reference/evaluate.py:389-467 (same parquet layout, same
+output file names under outputs/<save_name>/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from callireader_tpu.evalx import callibench
+
+
+def _str2bool(v) -> bool:
+    if isinstance(v, bool):
+        return v
+    return str(v).lower() not in ("false", "0", "no", "")
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="args for evaluation task")
+    parser.add_argument(
+        "--type", type=str,
+        choices=["full_page", "region_wise", "choice", "bilingual", "intent"],
+    )
+    parser.add_argument("--save_name", type=str, default="exp")
+    parser.add_argument("--data", type=str, default="./CalliBench")
+    parser.add_argument("--use_p", type=_str2bool, default=True)
+    parser.add_argument("--hard_vq", type=_str2bool, default=False)
+    parser.add_argument("--drop_zero", type=_str2bool, default=False)
+    parser.add_argument("--verbose", type=_str2bool, default=False)
+    parser.add_argument("--repetition_penalty", type=float, default=1.0)
+    parser.add_argument("--choice_limit", type=int, default=3,
+                        help="reference harness evaluates a 3-sample slice; 0 = full split")
+    parser.add_argument("--preset", type=str, default="callireader-8b")
+    parser.add_argument("--checkpoint", type=str, default=os.environ.get("CALLIREADER_CKPT"))
+    parser.add_argument("--random-init", action="store_true")
+    args = parser.parse_args(argv)
+
+    save_dir = f"outputs/{args.save_name}"
+    os.makedirs(save_dir, exist_ok=True)
+
+    from callireader_tpu.cli.common import build_engine
+
+    engine = build_engine(
+        preset=args.preset, checkpoint_dir=args.checkpoint, random_init_ok=args.random_init
+    )
+    kw = dict(
+        use_p=args.use_p, hard_vq=args.hard_vq, drop_zero=args.drop_zero,
+        repetition_penalty=args.repetition_penalty,
+    )
+
+    if args.type == "full_page":
+        for split in ("easy", "medium", "hard"):
+            callibench.test_full_page(
+                engine,
+                os.path.join(args.data, f"full_page_ocr/{split}/{split}.parquet"),
+                os.path.join(save_dir, f"full_page_{split}.json"),
+                **kw,
+            )
+    elif args.type == "region_wise":
+        callibench.test_region_wise(
+            engine,
+            os.path.join(args.data, "region-wise/region.parquet"),
+            os.path.join(save_dir, "region_wise.json"),
+            **kw,
+        )
+    elif args.type == "choice":
+        limit = args.choice_limit or None
+        for split in ("author", "style", "layout"):
+            callibench.test_choice(
+                engine,
+                os.path.join(args.data, f"choice/{split}/{split}.parquet"),
+                os.path.join(save_dir, f"{split}.json"),
+                limit=limit,
+                **kw,
+            )
+    elif args.type == "bilingual":
+        callibench.test_bilingual(
+            engine,
+            os.path.join(args.data, "reasoning/bilingual/medium/bilingual_medium.parquet"),
+            os.path.join(save_dir, "bilingual.json"),
+            **kw,
+        )
+    elif args.type == "intent":
+        callibench.test_intent(
+            engine,
+            os.path.join(args.data, "reasoning/intent/intent.parquet"),
+            os.path.join(save_dir, "intent.json"),
+            **kw,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,207 @@
+"""CalliBench evaluation harness.
+
+Parity target: /root/reference/evaluate.py — five task families over parquet
+splits (image bytes + JSON annotation):
+  full_page (easy/medium/hard)  :134-171
+  region_wise                   :173-213
+  choice (author/style/layout)  :216-313  (two-turn: recognize -> answer)
+  bilingual                     :317-350
+  intent                        :353-386
+
+Same JSON result layout (per-sample "detailed" + aggregate) so downstream
+judges (eval/eval_bilingual.py, eval/eval_intent.py equivalents in
+evalx/judges.py) consume either framework's outputs interchangeably.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import re
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from callireader_tpu.evalx.metrics import (
+    calculate_metrics,
+    evaluate_choice_accuracy,
+    get_clean_string,
+    ned,
+    t2s,
+)
+
+RECOGNIZE_PROMPT = "这幅书法作品内容是什么？"
+FULL_PAGE_PROMPT = "读出图中所有文字。"
+REGION_PROMPT = "读出图中区域所有文字。"
+
+
+def get_parquet(parquet_path: str) -> Tuple[List[Any], List[Dict]]:
+    """-> (PIL images, annotation dicts) (evaluate.py:55-77)."""
+    import pandas as pd
+    from PIL import Image
+
+    df = pd.read_parquet(parquet_path)
+    images, annotations = [], []
+    for index, row in df.iterrows():
+        try:
+            labels = json.loads(row["annotation"])
+            image = Image.open(io.BytesIO(row["image"]["bytes"]))
+            images.append(image)
+            annotations.append(labels)
+        except Exception as e:  # noqa: BLE001
+            print(f"Row {index} Error: {e}")
+    return images, annotations
+
+
+def _single_rec(engine, image, prompt, **kw) -> str:
+    response, _ = engine.chat_ocr(image, prompt, return_history=True, **kw)
+    return t2s(response)
+
+
+def _ocr_task(
+    engine, images, annotations, save_json_path, prompt, gt_key, region: bool, **kw
+) -> Dict:
+    detailed = []
+    sums = dict(p=0.0, r=0.0, f1=0.0, ned=0.0)
+    count = 0
+    for img, annot in zip(images, annotations):
+        if region:
+            [x1, y1], [x2, y2] = annot["region"]
+            arr = np.asarray(img.convert("RGB"))
+            from PIL import Image
+
+            img = Image.fromarray(arr[y1:y2, x1:x2])
+        response = _single_rec(engine, img, prompt, **kw)
+        gt = get_clean_string(annot[gt_key])
+        pred_chars, gt_chars = list(response), list(gt)
+        p, r, f1 = calculate_metrics(pred_chars, gt_chars)
+        d = ned(pred_chars, gt_chars)
+        detailed.append(
+            {
+                "imgPath": annot.get("imagePath", annot.get("image", "")),
+                "prompt": prompt,
+                "output": response,
+                "gt": gt,
+                "precision": p,
+                "recall": r,
+                "f1": f1,
+                "ned": d,
+            }
+        )
+        sums["p"] += p; sums["r"] += r; sums["f1"] += f1; sums["ned"] += d
+        count += 1
+    avg = {
+        "ave_precison": sums["p"] / count if count else 0,
+        "avg_recall": sums["r"] / count if count else 0,
+        "avg_f1": sums["f1"] / count if count else 0,
+        "avg_ned": sums["ned"] / count if count else 0,
+    }
+    result = {"detailed": detailed, "average": avg}
+    if save_json_path:
+        with open(save_json_path, "w", encoding="utf-8") as f:
+            json.dump(result, f, ensure_ascii=False, indent=4)
+    return result
+
+
+def test_full_page(engine, parquet_path, save_json_path, prompt=FULL_PAGE_PROMPT, **kw):
+    images, annotations = get_parquet(parquet_path)
+    return _ocr_task(engine, images, annotations, save_json_path, prompt, "reference", False, **kw)
+
+
+def test_region_wise(engine, parquet_path, save_json_path, prompt=REGION_PROMPT, **kw):
+    images, annotations = get_parquet(parquet_path)
+    return _ocr_task(engine, images, annotations, save_json_path, prompt, "answer", True, **kw)
+
+
+def _parse_choice_gt(annotations: List[Dict]) -> List[Tuple[str, str, str, str]]:
+    gt_list = []
+    for item in annotations:
+        prompt = item["conversations"][0]["value"]
+        gt = item["conversations"][1]["value"]
+        lines = prompt.split("\n")
+        options_line = wrong_0 = wrong_1 = None
+        for line in lines:
+            if "A" in line or "B" in line or "C" in line:
+                if line.startswith(gt + ":"):
+                    options_line = line
+                elif wrong_0 is None:
+                    wrong_0 = line
+                elif wrong_1 is None:
+                    wrong_1 = line
+        gt_list.append(
+            (
+                gt,
+                options_line.split(":")[1].strip(),
+                wrong_0.split(":")[1].strip(),
+                wrong_1.split(":")[1].strip(),
+            )
+        )
+    return gt_list
+
+
+def test_choice(engine, parquet_path, save_json_path, limit: Optional[int] = None, **kw):
+    """Two-turn choice QA. The reference harness runs a 3-sample smoke slice
+    (evaluate.py:257); pass limit=3 to reproduce, None for the full split."""
+    images, annotations = get_parquet(parquet_path)
+    gt_list = _parse_choice_gt(annotations)
+    if limit is not None:
+        images, annotations, gt_list = images[:limit], annotations[:limit], gt_list[:limit]
+
+    responses, detailed = [], []
+    for img, annot, gt_info in zip(images, annotations, gt_list):
+        _, history = engine.chat_ocr(img, RECOGNIZE_PROMPT, return_history=True, **kw)
+        prompt = annot["conversations"][0]["value"].replace("<image>\n", "")
+        question = prompt + "\n只需要输出问题的答案，禁止输出其他内容！答案："
+        response, history = engine.chat_ocr(
+            img, question, history=history, return_history=True, **kw
+        )
+        responses.append(response)
+        detailed.append(
+            {"imgPath": annot.get("image", ""), "output": response, "reference": gt_info[0]}
+        )
+
+    accuracy = evaluate_choice_accuracy(responses, gt_list)
+    result = {
+        "detailed": detailed,
+        "summary": {"total_samples": len(responses), "accuracy": accuracy},
+    }
+    if save_json_path:
+        with open(save_json_path, "w", encoding="utf-8") as f:
+            json.dump(result, f, ensure_ascii=False, indent=4)
+    return accuracy, result
+
+
+def _reasoning_task(engine, parquet_path, save_json_path, extra_keys=(), **kw):
+    images, annotations = get_parquet(parquet_path)
+    detailed = []
+    for img, annot in zip(images, annotations):
+        _, history = engine.chat_ocr(img, RECOGNIZE_PROMPT, return_history=True, **kw)
+        prompt = annot["conversations"][0]["value"]
+        m = re.search(r"^(.*?)\n[A-Z]:", prompt, re.DOTALL)
+        question = m.group(1).strip() if m else prompt
+        response, history = engine.chat_ocr(
+            img, question, history=history, return_history=True, **kw
+        )
+        rec = {
+            "imgPath": annot.get("image", ""),
+            "chinese": response.split("INTENT:")[0],
+            "answer": response.split("INTENT:")[-1],
+            "gt": annot["conversations"][-1]["value"],
+        }
+        for k in extra_keys:
+            rec[k] = annot.get(k.replace("calligraphy_content", "content"), "")
+        detailed.append(rec)
+    result = {"detailed": detailed}
+    if save_json_path:
+        with open(save_json_path, "w", encoding="utf-8") as f:
+            json.dump(result, f, ensure_ascii=False, indent=4)
+    return result
+
+
+def test_bilingual(engine, parquet_path, save_json_path, **kw):
+    return _reasoning_task(engine, parquet_path, save_json_path, **kw)
+
+
+def test_intent(engine, parquet_path, save_json_path, **kw):
+    return _reasoning_task(engine, parquet_path, save_json_path, extra_keys=("calligraphy_content",), **kw)

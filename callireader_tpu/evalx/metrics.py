@@ -1,0 +1,125 @@
+"""CalliBench metrics.
+
+Parity targets:
+  - char-set precision/recall/F1:  utils/utils.py:516-542 (greedy one-to-one
+    matching of predicted chars against ground-truth chars)
+  - NED: Levenshtein distance / max length (evaluate.py:149-152)
+  - punctuation strippers: evaluate.py:44-53
+  - choice accuracy rules: evaluate.py:80-125 (multi-letter rejection,
+    correct-text containment overrides)
+  - trad->simp conversion: evaluate.py:41 via OpenCC, gated here (identity
+    fallback with a warning when opencc is unavailable in the image).
+"""
+
+from __future__ import annotations
+
+import re
+import warnings
+from typing import Callable, List, Sequence, Tuple
+
+_CHINESE_PUNCT = re.compile(
+    r"[。？！、，「」『』‘’“”"
+    r"–—…【】《》：；]"
+)
+_ENGLISH_PUNCT = re.compile(r"[,\.!?:\'\";\(\)\[\]\{\}\-\n\*1234567890]")
+
+
+def remove_chinese_punctuation(text: str) -> str:
+    return _CHINESE_PUNCT.sub("", text)
+
+
+def remove_english_punctuation(text: str) -> str:
+    return _ENGLISH_PUNCT.sub("", text)
+
+
+def get_clean_string(text: str) -> str:
+    return remove_chinese_punctuation(remove_english_punctuation(text))
+
+
+_T2S_WARNED = False
+
+
+def t2s(text: str) -> str:
+    """Traditional->simplified. OpenCC when present, identity otherwise."""
+    global _T2S_WARNED
+    try:
+        import opencc  # type: ignore
+
+        return opencc.OpenCC("t2s").convert(text)
+    except Exception:
+        if not _T2S_WARNED:
+            warnings.warn("opencc unavailable: traditional->simplified conversion skipped")
+            _T2S_WARNED = True
+        return text
+
+
+def levenshtein(a: Sequence, b: Sequence) -> int:
+    try:
+        import Levenshtein  # type: ignore
+
+        if isinstance(a, list):
+            return Levenshtein.distance(a, b)
+        return Levenshtein.distance(a, b)
+    except Exception:
+        # classic DP fallback
+        m, n = len(a), len(b)
+        prev = list(range(n + 1))
+        for i in range(1, m + 1):
+            cur = [i] + [0] * n
+            for j in range(1, n + 1):
+                cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+            prev = cur
+        return prev[n]
+
+
+def calculate_metrics(
+    y_pred: Sequence, y_gt: Sequence, cmp: Callable = lambda a, b: a == b
+) -> Tuple[float, float, float]:
+    """Greedy set matching P/R/F1 (utils.py:516-542)."""
+    matched = set()
+    TP = FP = 0
+    for p in y_pred:
+        hit = False
+        for i, g in enumerate(y_gt):
+            if cmp(p, g) and i not in matched:
+                matched.add(i)
+                TP += 1
+                hit = True
+                break
+        if not hit:
+            FP += 1
+    FN = len(y_gt) - TP
+    precision = TP / (TP + FP) if TP + FP > 0 else 0.0
+    recall = TP / (TP + FN) if TP + FN > 0 else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall > 0 else 0.0
+    return precision, recall, f1
+
+
+def ned(pred: Sequence, gt: Sequence) -> float:
+    max_len = max(len(pred), len(gt))
+    if max_len == 0:
+        return 0.0
+    return levenshtein(list(pred), list(gt)) / max_len
+
+
+def evaluate_choice_accuracy(
+    responses: List[str], correct_answers: List[Tuple[str, str, str, str]]
+) -> float:
+    """(correct_letter, correct_text, wrong_text_0, wrong_text_1) per sample
+    (evaluate.py:80-125)."""
+    assert len(responses) == len(correct_answers)
+    correct = 0
+    for response, ans in zip(responses, correct_answers):
+        has = [l in response for l in "ABC"]
+        contain_gt = ans[1] in response
+        contain_w0 = ans[2] in response
+        contain_w1 = ans[3] in response
+        if sum(has) > 1:
+            ok = False
+        else:
+            chosen = "A" if has[0] else "B" if has[1] else "C" if has[2] else None
+            ok = chosen == ans[0]
+        if contain_gt:
+            ok = not (contain_w0 or contain_w1)
+        correct += int(ok)
+    return correct / len(responses) * 100 if responses else 0.0

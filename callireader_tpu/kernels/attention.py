@@ -91,8 +91,8 @@ def _flash_kernel(
     q_ref,  # (1, 1, block_q, D)
     k_ref,  # (1, 1, block_k, D)
     v_ref,  # (1, 1, block_k, D)
-    qseg_ref,  # (1, block_q) or None
-    kseg_ref,  # (1, block_k) or None
+    qseg_ref,  # (1, 1, block_q)
+    kseg_ref,  # (1, 1, block_k)
     o_ref,  # (1, 1, block_q, D)
     m_scratch,  # (block_q, 128) f32
     l_scratch,  # (block_q, 128) f32
@@ -133,8 +133,8 @@ def _flash_kernel(
             k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             mask = q_pos >= k_pos
         if qseg_ref is not None:
-            qs = qseg_ref[0]  # (bq,)
-            ks = kseg_ref[0]  # (bk,)
+            qs = qseg_ref[0, 0]  # (bq,)
+            ks = kseg_ref[0, 0]  # (bk,)
             seg = qs[:, None] == ks[None, :]
             mask = seg if mask is None else jnp.logical_and(mask, seg)
         if mask is not None:
@@ -213,6 +213,10 @@ def flash_attention(
         kv_segment_ids = jnp.zeros((B, Sk), jnp.int32)
     q_segment_ids = _pad_to(q_segment_ids.astype(jnp.int32), 1, block_q, -1)
     kv_segment_ids = _pad_to(kv_segment_ids.astype(jnp.int32), 1, block_k, -2)
+    # singleton middle dim so Mosaic's (sublane, lane) tiling rule is met:
+    # block (1, 1, block) has dim -2 == array dim -2 == 1
+    q_segment_ids = q_segment_ids[:, None, :]
+    kv_segment_ids = kv_segment_ids[:, None, :]
 
     qp = _pad_to(q, 2, block_q)
     kp = _pad_to(k, 2, block_k)
@@ -236,8 +240,8 @@ def flash_attention(
             pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j, g=groups: (b, h // g, j, 0)),
             pl.BlockSpec((1, 1, block_k, D), lambda b, h, i, j, g=groups: (b, h // g, j, 0)),
-            pl.BlockSpec((1, block_q), lambda b, h, i, j: (b, i)),
-            pl.BlockSpec((1, block_k), lambda b, h, i, j: (b, j)),
+            pl.BlockSpec((1, 1, block_q), lambda b, h, i, j: (b, 0, i)),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, i, j: (b, 0, j)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, D), lambda b, h, i, j: (b, h, i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype),

@@ -1,0 +1,97 @@
+"""Box geometry golden tests + CalliBench metric parity."""
+
+import numpy as np
+
+from callireader_tpu.evalx import metrics
+from callireader_tpu.vision import boxes
+
+
+def test_iou():
+    a = [0, 0, 10, 10]
+    b = [5, 5, 15, 15]
+    iou = boxes.calculate_iou(a, b)
+    assert abs(iou - 25 / 175) < 1e-9
+    assert abs(boxes.calculate_iou(a, b, mini=True) - 0.25) < 1e-9
+
+
+def test_merge_boxes_column():
+    # three vertically stacked chars with strong x-overlap -> one column
+    chars = [
+        [[10, 10], [30, 30]],
+        [[11, 40], [31, 60]],
+        [[9, 70], [29, 90]],
+        # far-away second column
+        [[100, 10], [120, 30]],
+        [[101, 40], [121, 60]],
+    ]
+    cols = boxes.merge_boxes([list(map(list, b)) for b in chars])
+    assert len(cols) == 2
+    # first column spans all three boxes
+    spans = sorted(cols, key=lambda c: c[0][0])
+    assert spans[0][0][1] <= 10 and spans[0][1][1] >= 90
+
+
+def test_dedup_boxes_iou():
+    b = [[[0, 0], [10, 10]], [[0.2, 0.2], [10, 10]], [[50, 50], [60, 60]]]
+    out = boxes.dedup_boxes_iou(b, 0.8)
+    assert len(out) == 2
+
+
+def test_most_frequent_rgb():
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[0, 0] = [1, 2, 3]
+    assert boxes.most_frequent_rgb_fast(img) == (0, 0, 0)
+
+
+def test_char2col_uniform_no_split():
+    chars = [[[10 + i, 10 + 30 * i], [30 + i, 30 + 30 * i]] for i in range(4)]
+    out = boxes.char2col_with_kmeans(chars, 200, 200)
+    assert out["boxes2class"] is None
+    assert len(out["shapes"]) >= 1
+
+
+def test_char2col_bimodal_splits():
+    big = [[[10, 10 + 60 * i], [60, 60 + 60 * i]] for i in range(4)]
+    small = [[[150, 10 + 8 * i], [154, 14 + 8 * i]] for i in range(4)]
+    out = boxes.char2col_with_kmeans(big + small, 200, 300)
+    assert out["boxes2class"] is not None
+
+
+def test_metrics_prf1():
+    p, r, f1 = metrics.calculate_metrics(list("abcd"), list("abce"))
+    assert p == 0.75 and r == 0.75 and abs(f1 - 0.75) < 1e-9
+    # duplicate predictions only match once
+    p, r, f1 = metrics.calculate_metrics(list("aa"), list("a"))
+    assert p == 0.5 and r == 1.0
+
+
+def test_ned():
+    assert metrics.ned("kitten", "sitting") == 3 / 7
+    assert metrics.ned("", "") == 0.0
+
+
+def test_clean_string():
+    assert metrics.get_clean_string("你好，世界。ABC123!") == "你好世界ABC"
+
+
+def test_choice_accuracy_rules():
+    gts = [("A", "王羲之", "颜真卿", "柳公权")] * 4
+    responses = [
+        "A",            # correct letter
+        "A B",          # multi-letter -> wrong
+        "王羲之",        # correct text containment
+        "王羲之和颜真卿",  # contains correct AND wrong text -> wrong
+    ]
+    acc = metrics.evaluate_choice_accuracy(responses, gts)
+    assert acc == 50.0
+
+
+def test_levenshtein_fallback_matches():
+    a, b = list("书法作品"), list("书発作品集")
+    try:
+        import Levenshtein
+
+        expected = Levenshtein.distance(a, b)
+    except Exception:
+        expected = 2
+    assert metrics.levenshtein(a, b) == expected
