@@ -1,0 +1,163 @@
+"""Training CLI — the `xtuner train` equivalent.
+
+  python -m callireader_tpu.cli.train --data ann.json --image-root ./imgs \
+      --batch-size 2 --grad-accum 2 --epochs 1 --out ./work_dir
+
+Parity targets:
+  - entry/config flow: train/xtuner/entry_point.py + tools/train.py (one CLI
+    process; no torchrun — SPMD over all local devices via one Mesh)
+  - e-IT recipe defaults: configs/internvl/v2/e-IT.py:32-104 (LoRA r128 a256,
+    frozen towers, lr 5e-5, bs 2 x accum 2, 1 epoch, max_length 8192,
+    LengthGroupedSampler)
+  - hooks: LoggerHook (interval prints), CheckpointHook (every N iters,
+    keep-1), ThroughputHook (tokens/s + TFLOPs), EvaluateChatHook (periodic
+    sample generation), resume (--resume)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="e-IT training")
+    parser.add_argument("--data", type=str, required=True, help="annotation json/jsonl")
+    parser.add_argument("--image-root", type=str, default="")
+    parser.add_argument("--out", type=str, default="./work_dir")
+    parser.add_argument("--preset", type=str, default="callireader-8b")
+    parser.add_argument("--checkpoint", type=str, default=os.environ.get("CALLIREADER_CKPT"))
+    parser.add_argument("--random-init", action="store_true")
+    parser.add_argument("--resume", type=str, default=None)
+    parser.add_argument("--batch-size", type=int, default=2)
+    parser.add_argument("--grad-accum", type=int, default=2)
+    parser.add_argument("--epochs", type=float, default=1.0)
+    parser.add_argument("--max-iters", type=int, default=None)
+    parser.add_argument("--lr", type=float, default=5e-5)
+    parser.add_argument("--lora-rank", type=int, default=128)
+    parser.add_argument("--lora-alpha", type=float, default=256.0)
+    parser.add_argument("--log-interval", type=int, default=10)
+    parser.add_argument("--ckpt-interval", type=int, default=1500)
+    parser.add_argument("--eval-chat-interval", type=int, default=0,
+                        help="generate a sample completion every N iters (0=off)")
+    parser.add_argument("--eval-chat-prompt", type=str, default="读出图中所有文字。")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help='e.g. "data=4,fsdp=2,tensor=1"')
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from callireader_tpu.cli.common import build_engine
+    from callireader_tpu.parallel import spmd
+    from callireader_tpu.train import checkpoint as ckpt_mod
+    from callireader_tpu.train import data as data_mod
+    from callireader_tpu.train import e_it, lora
+    from callireader_tpu.utils.profiling import Spans, TrainThroughput
+
+    os.makedirs(args.out, exist_ok=True)
+    engine = build_engine(
+        preset=args.preset, checkpoint_dir=args.checkpoint, random_init_ok=args.random_init
+    )
+    cfg, tok = engine.cfg, engine.tok
+
+    if args.mesh:
+        shape = {k: int(v) for k, v in (kv.split("=") for kv in args.mesh.split(","))}
+        mesh = spmd.make_mesh(shape)
+    else:
+        # default: data axis as large as the batch allows, remainder to fsdp
+        import math
+
+        n = len(jax.devices())
+        data = math.gcd(n, args.batch_size)
+        mesh = spmd.make_mesh({"data": data, "fsdp": n // data, "tensor": 1, "seq": 1})
+    print(f"[train] mesh: {dict(mesh.shape)}", file=sys.stderr)
+
+    dataset = data_mod.EITDataset(args.data, cfg, tok, image_root=args.image_root)
+    steps_per_epoch = max(1, len(dataset) // (args.batch_size * args.grad_accum))
+    total_steps = args.max_iters or int(steps_per_epoch * args.epochs)
+
+    train_cfg = e_it.TrainConfig(
+        learning_rate=args.lr,
+        total_steps=total_steps,
+        lora_rank=args.lora_rank,
+        lora_alpha=args.lora_alpha,
+    )
+
+    params = engine.params
+    params["llm"] = lora.add_lora(
+        params["llm"], cfg.llm, jax.random.PRNGKey(args.seed),
+        rank=train_cfg.lora_rank, alpha=train_cfg.lora_alpha,
+    )
+    axes = spmd.engine_logical_axes(cfg, params)
+    params = spmd.shard_tree(params, axes, mesh)
+
+    state, frozen, tx = e_it.create_train_state(params, train_cfg)
+    state = e_it.replicate_scalars(state, mesh)
+    if args.resume:
+        state = ckpt_mod.restore_train_state(args.resume, state)
+        state = e_it.replicate_scalars(state, mesh)
+        print(f"[train] resumed from {args.resume} at step {int(state.step)}", file=sys.stderr)
+
+    step_fn = jax.jit(e_it.make_train_step(cfg, train_cfg, tx), donate_argnums=(0,))
+
+    spans = Spans()
+    thr = TrainThroughput(cfg, seq_len=2048)
+    loader = data_mod.data_loader(dataset, args.batch_size, shuffle_seed=args.seed)
+    it = int(state.step)
+    last_ckpt = None
+    log_path = os.path.join(args.out, "train_log.jsonl")
+
+    with mesh:
+        while it < total_steps:
+            try:
+                batch = next(loader)
+            except StopIteration:
+                loader = data_mod.data_loader(dataset, args.batch_size, shuffle_seed=args.seed + it)
+                batch = next(loader)
+            batch = spmd.shard_batch(batch, mesh)
+            with spans.span("step"):
+                state, metrics = step_fn(state, frozen, batch)
+            it = int(state.step)
+            n_tok = int(np.asarray(metrics["n_tokens"]))
+            stats = thr.step(n_tok)
+            if it % args.log_interval == 0:
+                rec = {
+                    "iter": it,
+                    "loss": float(metrics["loss"]),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    **{k: round(v, 2) for k, v in stats.items()},
+                }
+                print(f"[train] {json.dumps(rec)}", file=sys.stderr)
+                with open(log_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+            if args.ckpt_interval and it % args.ckpt_interval == 0:
+                path = os.path.join(args.out, f"iter_{it}")
+                ckpt_mod.save_train_state(path, state, metadata={"iter": it, "seed": args.seed})
+                if last_ckpt and os.path.exists(last_ckpt):
+                    shutil.rmtree(last_ckpt)  # keep-1 (e-IT.py:150-155)
+                last_ckpt = path
+            if args.eval_chat_interval and it % args.eval_chat_interval == 0:
+                merged = e_it.merge_params(state.trainable, frozen)
+                engine.params = merged
+                resp = engine.chat(None, args.eval_chat_prompt, max_new_tokens=32)
+                print(f"[eval-chat @{it}] {resp!r}", file=sys.stderr)
+
+    # final save + deployable export
+    final = os.path.join(args.out, "final")
+    ckpt_mod.save_train_state(final, state, metadata={"iter": it, "seed": args.seed})
+    merged = e_it.merge_params(state.trainable, frozen)
+    export_dir = os.path.join(args.out, "export_official")
+    ckpt_mod.export_reference_format(merged, cfg, export_dir)
+    print(f"[train] done: {it} iters; export at {export_dir}", file=sys.stderr)
+    print(spans.report(), file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

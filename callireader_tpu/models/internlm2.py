@@ -363,21 +363,37 @@ def decode_step(
     kv_seg = jnp.where(kv_valid_mask > 0, 0, -9).astype(jnp.int32)
     q_seg = jnp.zeros((B, S), jnp.int32)
 
-    def attn_fn(q, k, v, idx):
+    # Cache is threaded through the layer scan as a carry and updated with a
+    # single-token dynamic_update_slice — XLA aliases loop carries, so each
+    # step writes O(B*Hkv*D) bytes instead of rebuilding the (L, ..., max_len)
+    # buffers (which costs ~full-cache HBM traffic per token).
+    def body(carry, p):
+        x, ck, cv, idx = carry
+        h = rms_norm(x, p["attn_norm"], cfg.rms_norm_eps, policy)
+        q, k, v = _qkv(p, h, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
         ck = jax.lax.dynamic_update_slice(
-            cache.k[idx], k.astype(cache.k.dtype), (0, 0, cache.length, 0)
+            ck, k[None].astype(ck.dtype), (idx, 0, 0, cache.length, 0)
         )
         cv = jax.lax.dynamic_update_slice(
-            cache.v[idx], v.astype(cache.v.dtype), (0, 0, cache.length, 0)
+            cv, v[None].astype(cv.dtype), (idx, 0, 0, cache.length, 0)
         )
+        layer_k = jax.lax.dynamic_index_in_dim(ck, idx, 0, keepdims=False)
+        layer_v = jax.lax.dynamic_index_in_dim(cv, idx, 0, keepdims=False)
         ctx = attention_reference(
-            q, ck.astype(q.dtype), cv.astype(q.dtype),
+            q, layer_k.astype(q.dtype), layer_v.astype(q.dtype),
             causal=False,  # masking fully handled by kv_seg validity
             q_segment_ids=q_seg, kv_segment_ids=kv_seg,
         )
-        return ctx, ck, cv
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, -1)
+        x = x + _proj(p, ctx, "wo")
+        x = _mlp(p, x, cfg, policy)
+        return (x, ck, cv, idx + 1), None
 
-    x, (ck, cv) = _run_layers(params, cfg, x, cos, sin, attn_fn, policy)
+    (x, ck, cv, _), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)), params["layers"]
+    )
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
     logits = _logits(params, x, policy)[:, 0]
     return logits, KVCache(k=ck, v=cv, length=cache.length + 1)

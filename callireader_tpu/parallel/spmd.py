@@ -76,14 +76,14 @@ def shard_tree(tree: Any, axes: Any, mesh: Mesh, rules=part.DEFAULT_RULES) -> An
 
 
 def batch_sharding(mesh: Mesh, seq_sharded: bool = False):
-    """Shard train batches: leading dim over data(+fsdp), optionally sequence
+    """Shard train batches: leading dim over data, optionally sequence
     dim over seq."""
 
     def spec_for(x):
         if x.ndim >= 2 and seq_sharded and mesh.shape.get("seq", 1) > 1:
-            return NamedSharding(mesh, P(("data", "fsdp"), "seq"))
+            return NamedSharding(mesh, P("data", "seq"))
         if x.ndim >= 1:
-            return NamedSharding(mesh, P(("data", "fsdp")))
+            return NamedSharding(mesh, P("data"))
         return NamedSharding(mesh, P())
 
     return spec_for
@@ -99,7 +99,7 @@ def shard_batch(batch: Dict[str, np.ndarray], mesh: Mesh, seq_sharded: bool = Fa
             out[k] = jax.device_put(v, NamedSharding(mesh, P()))
         else:
             spec = [None] * v.ndim
-            spec[0] = ("data", "fsdp")
+            spec[0] = "data"
             if seq_sharded and v.ndim >= 2 and mesh.shape.get("seq", 1) > 1:
                 spec[1] = "seq"
             out[k] = jax.device_put(v, NamedSharding(mesh, P(*spec)))

@@ -30,16 +30,42 @@ def _ckptr():
     return ocp.PyTreeCheckpointer()
 
 
-def save_train_state(path: str, state: TrainState, metadata: Optional[Dict] = None) -> None:
-    import orbax.checkpoint as ocp
+def _flatten(tree: Any) -> Dict[str, Any]:
+    """Pytree -> {"a/b/0/c": leaf}; None leaves (frozen-partition holes) are
+    dropped (orbax's sharding metadata mishandles None members)."""
+    out: Dict[str, Any] = {}
+    flat = jax.tree_util.tree_flatten_with_path(
+        tree, is_leaf=lambda x: x is None
+    )[0]
+    for path, leaf in flat:
+        if leaf is None:
+            continue
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p)))) for p in path)
+        out[key] = leaf
+    return out
 
+
+def _unflatten_into(template: Any, flat: Dict[str, Any]) -> Any:
+    leaves_with_path = jax.tree_util.tree_flatten_with_path(
+        template, is_leaf=lambda x: x is None
+    )[0]
+    treedef = jax.tree_util.tree_structure(template, is_leaf=lambda x: x is None)
+    new_leaves = []
+    for path, leaf in leaves_with_path:
+        if leaf is None:
+            new_leaves.append(None)
+            continue
+        key = "/".join(str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p)))) for p in path)
+        new_leaves.append(flat[key])
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
+def save_train_state(path: str, state: TrainState, metadata: Optional[Dict] = None) -> None:
     path = os.path.abspath(path)
-    ckptr = _ckptr()
-    ckptr.save(
-        os.path.join(path, "state"),
-        {"trainable": state.trainable, "opt_state": state.opt_state, "step": state.step},
-        force=True,
+    payload = _flatten(
+        {"trainable": state.trainable, "opt_state": state.opt_state, "step": state.step}
     )
+    _ckptr().save(os.path.join(path, "state"), payload, force=True)
     if metadata is not None:
         with open(os.path.join(path, "metadata.json"), "w") as f:
             json.dump(metadata, f)
@@ -47,15 +73,27 @@ def save_train_state(path: str, state: TrainState, metadata: Optional[Dict] = No
 
 def restore_train_state(path: str, template: TrainState) -> TrainState:
     path = os.path.abspath(path)
-    ckptr = _ckptr()
-    restored = ckptr.restore(
-        os.path.join(path, "state"),
-        item={
-            "trainable": template.trainable,
-            "opt_state": template.opt_state,
-            "step": template.step,
-        },
+    tmpl_tree = {
+        "trainable": template.trainable,
+        "opt_state": template.opt_state,
+        "step": template.step,
+    }
+    tmpl_flat = _flatten(tmpl_tree)
+    import orbax.checkpoint as ocp
+
+    restore_args = ocp.checkpoint_utils.construct_restore_args(tmpl_flat)
+    restored_flat = _ckptr().restore(
+        os.path.join(path, "state"), item=tmpl_flat, restore_args=restore_args
     )
+    # pin restored leaves to the template's exact shardings (orbax may land
+    # them on a single device otherwise)
+    restored_flat = {
+        k: jax.device_put(v, tmpl_flat[k].sharding)
+        if hasattr(tmpl_flat[k], "sharding")
+        else v
+        for k, v in restored_flat.items()
+    }
+    restored = _unflatten_into(tmpl_tree, restored_flat)
     return TrainState(restored["trainable"], restored["opt_state"], restored["step"])
 
 

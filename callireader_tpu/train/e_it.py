@@ -186,11 +186,78 @@ jax.tree_util.register_dataclass(
 )
 
 
-def create_train_state(params, train_cfg: TrainConfig):
+def _path_str(path) -> str:
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "idx", getattr(p, "name", p)))) for p in path
+    )
+
+
+def _shard_opt_state_like(opt_state, trainable, mesh):
+    """Pin optimizer-state arrays to the matching trainable leaf's sharding
+    (moment tensors mirror the trainable tree as a path suffix); scalars are
+    mesh-replicated. Needed because the optimizer init is value-independent —
+    XLA constant-folds it onto one device regardless of input shardings."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+    train_flat = [
+        (_path_str(p), l)
+        for p, l in jax.tree_util.tree_flatten_with_path(trainable)[0]
+        if l is not None
+    ]
+
+    def fix(path, leaf):
+        if not hasattr(leaf, "ndim"):
+            return leaf
+        if leaf.ndim == 0:
+            return jax.device_put(leaf, rep)
+        ps = _path_str(path)
+        for tp, tl in train_flat:
+            if ps.endswith(tp) and tl.shape == leaf.shape:
+                return jax.device_put(leaf, tl.sharding)
+        return jax.device_put(leaf, rep)
+
+    flat = jax.tree_util.tree_flatten_with_path(opt_state)[0]
+    treedef = jax.tree_util.tree_structure(opt_state)
+    return jax.tree_util.tree_unflatten(treedef, [fix(p, l) for p, l in flat])
+
+
+def create_train_state(params, train_cfg: TrainConfig, mesh=None):
     trainable, frozen = partition_params(params, train_cfg)
     tx = make_optimizer(train_cfg)
     opt_state = tx.init(trainable)
-    return TrainState(trainable, opt_state, jnp.zeros((), jnp.int32)), frozen, tx
+    step = jnp.zeros((), jnp.int32)
+    if mesh is None:
+        leaves = [l for l in jax.tree.leaves(trainable) if hasattr(l, "sharding")]
+        mesh = next(
+            (l.sharding.mesh for l in leaves if getattr(l.sharding, "mesh", None) is not None),
+            None,
+        )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        opt_state = _shard_opt_state_like(opt_state, trainable, mesh)
+        step = jax.device_put(step, NamedSharding(mesh, PartitionSpec()))
+    return TrainState(trainable, opt_state, step), frozen, tx
+
+
+def replicate_scalars(state: TrainState, mesh) -> TrainState:
+    """Pin every scalar state leaf (optimizer counters, step) to a
+    mesh-replicated sharding so all state lives on one device set."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = NamedSharding(mesh, PartitionSpec())
+
+    def fix(x):
+        if hasattr(x, "ndim") and x.ndim == 0:
+            return jax.device_put(x, rep)
+        return x
+
+    return TrainState(
+        state.trainable,
+        jax.tree.map(fix, state.opt_state),
+        jax.device_put(state.step, rep),
+    )
 
 
 def make_train_step(
