@@ -30,6 +30,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from callireader_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from callireader_tpu.core.config import callireader_2b
     from callireader_tpu.runtime import generate as gen
     from callireader_tpu.runtime.engine import CalliReaderEngine, init_all_params
@@ -44,24 +48,30 @@ def main():
     engine = CalliReaderEngine(cfg, params, tok, use_flash=on_tpu)
 
     rng = np.random.RandomState(0)
+    stage = {}
 
     def one_image(seed: int) -> None:
         # main image tiles (aspect-bucketed at 7+thumbnail=8 in the pipeline)
-        tiles = rng.rand(N_TILES, cfg.force_image_size, cfg.force_image_size, 3).astype(
-            np.float32
+        tiles = rng.randint(
+            0, 255, (N_TILES, cfg.force_image_size, cfg.force_image_size, 3), np.uint8
         )
+        t0 = time.time()
         img_embeds = engine.encode_image_tiles(tiles)
+        img_embeds.block_until_ready()
+        stage["vit_tiles"] = stage.get("vit_tiles", 0.0) + time.time() - t0
 
         # character slices -> pseudo tokens
-        chars = rng.rand(N_CHARS, cfg.force_image_size, cfg.force_image_size, 3).astype(
-            np.float32
+        chars = rng.randint(
+            0, 255, (N_CHARS, cfg.force_image_size, cfg.force_image_size, 3), np.uint8
         )
         from callireader_tpu.vision import preprocess
 
+        t0 = time.time()
         padded, n = preprocess.pad_to_bucket(chars, (N_CHARS,))
         feats = engine._vision_encode(engine.params, jnp.asarray(padded))
         pseudo, _ = engine._resample_vq(engine.params, feats)
         pseudo = np.asarray(pseudo[: n * cfg.resampler.num_learns])
+        stage["chars_vq"] = stage.get("chars_vq", 0.0) + time.time() - t0
 
         # prompt: system + question + image tokens + pseudo slots
         from callireader_tpu.runtime.conversation import build_chat_prompt
@@ -79,18 +89,22 @@ def main():
             eos_token_ids=(-1,),  # random weights never hit a real eos; fixed budget
             repetition_penalty=1.0,
         )
+        t0 = time.time()
         out = engine._generate(ids, img_embeds, pseudo, gcfg)
         assert len(out) == DECODE_TOKENS
+        stage["prefill_decode"] = stage.get("prefill_decode", 0.0) + time.time() - t0
 
     for i in range(N_WARMUP):
         t0 = time.time()
         one_image(i)
         print(f"[bench] warmup {i}: {time.time()-t0:.1f}s", file=sys.stderr)
 
+    stage.clear()
     t0 = time.time()
     for i in range(N_IMAGES):
         one_image(100 + i)
     dt = time.time() - t0
+    print(f"[bench] stage totals: { {k: round(v,2) for k,v in stage.items()} }", file=sys.stderr)
     ips = N_IMAGES / dt
     print(
         f"[bench] {N_IMAGES} imgs in {dt:.2f}s -> {ips:.4f} imgs/s "

@@ -23,6 +23,9 @@ def build_engine(
     import jax
     import jax.numpy as jnp
 
+    from callireader_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     cfg = get_config(preset)
     tok = InternLM2Tokenizer(tokenizer_path)
 

@@ -91,6 +91,19 @@ def layer_norm(x, scale, bias, eps, policy: DTypePolicy):
     )
 
 
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize_uint8(pixel_values: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """On-device ImageNet normalization of raw uint8 NHWC tiles. Keeping
+    host->device transfers in uint8 quarters the PCIe/DMA traffic vs f32."""
+    mean = jnp.asarray(IMAGENET_MEAN, dtype)
+    std = jnp.asarray(IMAGENET_STD, dtype)
+    x = pixel_values.astype(dtype) / 255.0
+    return (x - mean) / std
+
+
 def _patchify(pixel_values: jax.Array, patch: int) -> jax.Array:
     """NHWC (B,H,W,C) -> (B, H/p * W/p, C*p*p) with torch conv flatten order
     (c, kh, kw)."""
@@ -130,6 +143,8 @@ def forward(
     gh, gw = H // P, W // P
     base = cfg.image_size // P
 
+    if pixel_values.dtype == jnp.uint8:
+        pixel_values = normalize_uint8(pixel_values, policy.norm_dtype)
     x = _patchify(pixel_values.astype(policy.compute_dtype), P)
     x = x @ params["patch_embed"]["kernel"].astype(x.dtype)
     x = x + params["patch_embed"]["bias"].astype(x.dtype)

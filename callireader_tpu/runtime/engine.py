@@ -222,7 +222,9 @@ class CalliReaderEngine:
             if x2 <= x1 or y2 <= y1:
                 continue
             crops.append(
-                preprocess.load_char_slice(image[y1:y2, x1:x2], self.cfg.force_image_size)[0]
+                preprocess.load_char_slice(
+                    image[y1:y2, x1:x2], self.cfg.force_image_size, as_uint8=True
+                )[0]
             )
         if not crops:
             return None, None
@@ -321,7 +323,7 @@ class CalliReaderEngine:
                 question = "输出图片中所有文字:"
             pixel_values = preprocess.load_image(
                 img_np, self.cfg.force_image_size, self.cfg.max_dynamic_patch,
-                self.cfg.use_thumbnail,
+                self.cfg.use_thumbnail, as_uint8=True,
             )
 
         pseudo = None
@@ -377,6 +379,62 @@ class CalliReaderEngine:
             max_new_tokens=max_new_tokens,
         )
 
+    def dynamic_chat(
+        self,
+        image: Optional[Any],
+        question: str,
+        *,
+        history: Optional[List[Tuple[str, str]]] = None,
+        return_history: bool = False,
+        use_p: bool = True,
+        repetition_penalty: float = 1.0,
+        max_new_tokens: int = 1024,
+    ):
+        """Ablation path (modeling_internvl_chat.py:765-901 + generate
+        :1124-1183): the *main image's* tile features run through the
+        resampler + VQ + denorm and stand in for the usual 256 image tokens —
+        num_image_token collapses to num_learns per tile."""
+        if not use_p or image is None:
+            return self.chat(
+                image, question, history=history, return_history=return_history,
+                repetition_penalty=repetition_penalty, max_new_tokens=max_new_tokens,
+            )
+        pixel_values = preprocess.load_image(
+            image, self.cfg.force_image_size, self.cfg.max_dynamic_patch,
+            self.cfg.use_thumbnail, as_uint8=True,
+        )
+        n_tiles = pixel_values.shape[0]
+        padded, n = preprocess.pad_to_bucket(pixel_values)
+        feats = self._vision_encode(self.params, jnp.asarray(padded))
+        pseudo, _ = self._resample_vq(self.params, feats)
+        n_learns = self.cfg.resampler.num_learns
+        pseudo = np.asarray(pseudo[: n * n_learns])
+
+        conv = build_chat_prompt(question, history)
+        query = conv.get_prompt()
+        image_tokens = IMG_CONTEXT * n_learns * n_tiles
+        if "<image>" in query:
+            query = query.replace("<image>", image_tokens, 1)
+        else:
+            query = query.replace(
+                conv.roles[1], image_tokens + conv.roles[1], 1
+            )
+        input_ids = self._tokenize_prompt(query)
+
+        gen_cfg = gen.GenerateConfig(
+            max_new_tokens=max_new_tokens,
+            eos_token_ids=(self.tok.convert_tokens_to_ids(conv.sep),),
+            pad_token_id=self.tok.pad_token_id,
+            repetition_penalty=repetition_penalty,
+        )
+        # pseudo embeds stand at the <IMG_CONTEXT> positions here
+        out_tokens = self._generate(input_ids, jnp.asarray(pseudo)[None], None, gen_cfg)
+        response = self.tok.decode(out_tokens, skip_special_tokens=True)
+        response = response.split(conv.sep)[0].strip()
+        history = list(history or [])
+        history.append((question, response))
+        return (response, history) if return_history else response
+
     def batch_chat(
         self,
         images: Sequence[Any],
@@ -393,7 +451,7 @@ class CalliReaderEngine:
         for image, question in zip(images, questions):
             pixel_values = preprocess.load_image(
                 image, self.cfg.force_image_size, self.cfg.max_dynamic_patch,
-                self.cfg.use_thumbnail,
+                self.cfg.use_thumbnail, as_uint8=True,
             )
             q = "<image>\n" + question if "<image>" not in question else question
             conv = build_chat_prompt(q, None)

@@ -50,6 +50,15 @@ def to_tensor_normalized(img: Image.Image, input_size: int) -> np.ndarray:
     return (arr - IMAGENET_MEAN) / IMAGENET_STD
 
 
+def to_tensor_uint8(img: Image.Image, input_size: int) -> np.ndarray:
+    """resize bicubic, keep uint8 HWC — ImageNet normalization happens
+    on-device (4x less host->device transfer than f32; see
+    models/internvit.normalize_uint8)."""
+    img = img.convert("RGB") if img.mode != "RGB" else img
+    img = img.resize((input_size, input_size), Image.BICUBIC)
+    return np.asarray(img, np.uint8)
+
+
 def find_closest_aspect_ratio(
     aspect_ratio: float,
     target_ratios: Sequence[Tuple[int, int]],
@@ -112,15 +121,20 @@ def dynamic_tile(
 
 
 def load_image(
-    image: ImageLike, input_size: int = 448, max_num: int = 12, use_thumbnail: bool = True
+    image: ImageLike, input_size: int = 448, max_num: int = 12, use_thumbnail: bool = True,
+    as_uint8: bool = False,
 ) -> np.ndarray:
-    """Main-image pipeline -> (num_tiles, H, W, C) f32 NHWC."""
+    """Main-image pipeline -> (num_tiles, H, W, C) NHWC (f32 normalized, or
+    raw uint8 for on-device normalization)."""
     img = open_image(image)
     tiles = dynamic_tile(img, image_size=input_size, use_thumbnail=use_thumbnail, max_num=max_num)
-    return np.stack([to_tensor_normalized(t, input_size) for t in tiles])
+    conv = to_tensor_uint8 if as_uint8 else to_tensor_normalized
+    return np.stack([conv(t, input_size) for t in tiles])
 
 
-def load_char_slice(image: ImageLike, input_size: int = 448, max_num: int = 12) -> np.ndarray:
+def load_char_slice(
+    image: ImageLike, input_size: int = 448, max_num: int = 12, as_uint8: bool = False
+) -> np.ndarray:
     """Character-crop pipeline (reference load_image_2): scale longest edge into
     [200, 350] (bounds scaled with input_size), center-pad white to input_size,
     then tile (always 1 tile since the padded image is square input_size).
@@ -149,7 +163,8 @@ def load_char_slice(image: ImageLike, input_size: int = 448, max_num: int = 12) 
         fill=(255, 255, 255),
     )
     tiles = dynamic_tile(img, image_size=input_size, use_thumbnail=True, max_num=max_num)
-    return np.stack([to_tensor_normalized(t, input_size) for t in tiles])
+    conv = to_tensor_uint8 if as_uint8 else to_tensor_normalized
+    return np.stack([conv(t, input_size) for t in tiles])
 
 
 def bucket_tiles(n: int, buckets: Sequence[int] = TILE_BUCKETS) -> int:
