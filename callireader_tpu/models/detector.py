@@ -77,11 +77,11 @@ def _c2f(key, cin, cout, n, shortcut):
             "cv1": _conv_block(ks[2 + 2 * i], c, c, 3),
             "cv2": _conv_block(ks[3 + 2 * i], c, c, 3),
         })
+    del shortcut  # structural: backbone C2f uses residuals, neck does not
     return {
         "cv1": _conv_block(ks[0], cin, cout, 1),
         "cv2": _conv_block(ks[1], (2 + n) * c, cout, 1),
         "blocks": blocks,
-        "shortcut": shortcut,
     }
 
 
@@ -152,14 +152,14 @@ def _conv(p, x, stride=1):
     return jax.nn.silu(y + p["b"].astype(x.dtype))
 
 
-def _run_c2f(p, x):
+def _run_c2f(p, x, shortcut):
     y = _conv(p["cv1"], x)
     a, b = jnp.split(y, 2, axis=-1)
     outs = [a, b]
     h = b
     for blk in p["blocks"]:
         y2 = _conv(blk["cv2"], _conv(blk["cv1"], h))
-        h = h + y2 if p["shortcut"] else y2
+        h = h + y2 if shortcut else y2
         outs.append(h)
     return _conv(p["cv2"], jnp.concatenate(outs, axis=-1))
 
@@ -196,20 +196,20 @@ def forward_features(params: Params, x: jax.Array) -> Tuple[jax.Array, jax.Array
     b = params["backbone"]
     x = _conv(b["stem"], x, 2)        # P1
     x = _conv(b["down1"], x, 2)       # P2
-    x = _run_c2f(b["c2f1"], x)
+    x = _run_c2f(b["c2f1"], x, True)
     x = _conv(b["down2"], x, 2)       # P3
-    p3 = _run_c2f(b["c2f2"], x)
+    p3 = _run_c2f(b["c2f2"], x, True)
     x = _conv(b["down3"], p3, 2)      # P4
-    p4 = _run_c2f(b["c2f3"], x)
+    p4 = _run_c2f(b["c2f3"], x, True)
     x = _conv(b["down4"], p4, 2)      # P5
-    x = _run_c2f(b["c2f4"], x)
+    x = _run_c2f(b["c2f4"], x, True)
     p5 = _sppf(b["sppf"], x)
 
     n = params["neck"]
-    u4 = _run_c2f(n["c2f_p4"], jnp.concatenate([_upsample2(p5), p4], axis=-1))
-    u3 = _run_c2f(n["c2f_p3"], jnp.concatenate([_upsample2(u4), p3], axis=-1))
-    d4 = _run_c2f(n["c2f_n4"], jnp.concatenate([_conv(n["down_p3"], u3, 2), u4], axis=-1))
-    d5 = _run_c2f(n["c2f_n5"], jnp.concatenate([_conv(n["down_p4"], d4, 2), p5], axis=-1))
+    u4 = _run_c2f(n["c2f_p4"], jnp.concatenate([_upsample2(p5), p4], axis=-1), False)
+    u3 = _run_c2f(n["c2f_p3"], jnp.concatenate([_upsample2(u4), p3], axis=-1), False)
+    d4 = _run_c2f(n["c2f_n4"], jnp.concatenate([_conv(n["down_p3"], u3, 2), u4], axis=-1), False)
+    d5 = _run_c2f(n["c2f_n5"], jnp.concatenate([_conv(n["down_p4"], d4, 2), p5], axis=-1), False)
     return u3, d4, d5
 
 
