@@ -34,6 +34,8 @@ def main(argv=None):
     parser.add_argument("--drop_zero", type=_str2bool, default=False)
     parser.add_argument("--verbose", type=_str2bool, default=False)
     parser.add_argument("--repetition_penalty", type=float, default=1.0)
+    parser.add_argument("--batch_size", type=int, default=1,
+                        help="batched chat_ocr for full_page/region_wise (TPU throughput mode)")
     parser.add_argument("--choice_limit", type=int, default=3,
                         help="reference harness evaluates a 3-sample slice; 0 = full split")
     parser.add_argument("--preset", type=str, default="callireader-8b")
@@ -60,6 +62,7 @@ def main(argv=None):
                 engine,
                 os.path.join(args.data, f"full_page_ocr/{split}/{split}.parquet"),
                 os.path.join(save_dir, f"full_page_{split}.json"),
+                batch_size=args.batch_size,
                 **kw,
             )
     elif args.type == "region_wise":
@@ -67,6 +70,7 @@ def main(argv=None):
             engine,
             os.path.join(args.data, "region-wise/region.parquet"),
             os.path.join(save_dir, "region_wise.json"),
+            batch_size=args.batch_size,
             **kw,
         )
     elif args.type == "choice":

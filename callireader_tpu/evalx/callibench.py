@@ -60,19 +60,40 @@ def _single_rec(engine, image, prompt, **kw) -> str:
 
 
 def _ocr_task(
-    engine, images, annotations, save_json_path, prompt, gt_key, region: bool, **kw
+    engine, images, annotations, save_json_path, prompt, gt_key, region: bool,
+    batch_size: int = 1, **kw
 ) -> Dict:
+    def crop(img, annot):
+        if not region:
+            return img
+        [x1, y1], [x2, y2] = annot["region"]
+        arr = np.asarray(img.convert("RGB"))
+        from PIL import Image
+
+        return Image.fromarray(arr[y1:y2, x1:x2])
+
+    if batch_size > 1:
+        responses = []
+        for i in range(0, len(images), batch_size):
+            chunk_imgs = [
+                crop(im, an)
+                for im, an in zip(images[i : i + batch_size], annotations[i : i + batch_size])
+            ]
+            out = engine.batch_chat_ocr(
+                chunk_imgs, [prompt] * len(chunk_imgs), **kw
+            )
+            responses.extend(t2s(r) for r in out)
+    else:
+        responses = None
+
     detailed = []
     sums = dict(p=0.0, r=0.0, f1=0.0, ned=0.0)
     count = 0
-    for img, annot in zip(images, annotations):
-        if region:
-            [x1, y1], [x2, y2] = annot["region"]
-            arr = np.asarray(img.convert("RGB"))
-            from PIL import Image
-
-            img = Image.fromarray(arr[y1:y2, x1:x2])
-        response = _single_rec(engine, img, prompt, **kw)
+    for idx, (img, annot) in enumerate(zip(images, annotations)):
+        if responses is not None:
+            response = responses[idx]
+        else:
+            response = _single_rec(engine, crop(img, annot), prompt, **kw)
         gt = get_clean_string(annot[gt_key])
         pred_chars, gt_chars = list(response), list(gt)
         p, r, f1 = calculate_metrics(pred_chars, gt_chars)
@@ -104,14 +125,24 @@ def _ocr_task(
     return result
 
 
-def test_full_page(engine, parquet_path, save_json_path, prompt=FULL_PAGE_PROMPT, **kw):
+def test_full_page(
+    engine, parquet_path, save_json_path, prompt=FULL_PAGE_PROMPT, batch_size=1, **kw
+):
     images, annotations = get_parquet(parquet_path)
-    return _ocr_task(engine, images, annotations, save_json_path, prompt, "reference", False, **kw)
+    return _ocr_task(
+        engine, images, annotations, save_json_path, prompt, "reference", False,
+        batch_size=batch_size, **kw,
+    )
 
 
-def test_region_wise(engine, parquet_path, save_json_path, prompt=REGION_PROMPT, **kw):
+def test_region_wise(
+    engine, parquet_path, save_json_path, prompt=REGION_PROMPT, batch_size=1, **kw
+):
     images, annotations = get_parquet(parquet_path)
-    return _ocr_task(engine, images, annotations, save_json_path, prompt, "answer", True, **kw)
+    return _ocr_task(
+        engine, images, annotations, save_json_path, prompt, "answer", True,
+        batch_size=batch_size, **kw,
+    )
 
 
 def _parse_choice_gt(annotations: List[Dict]) -> List[Tuple[str, str, str, str]]:

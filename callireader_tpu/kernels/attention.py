@@ -190,8 +190,8 @@ def flash_attention(
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 512,
+    block_k: int = 512,
     interpret: bool = False,
 ) -> jax.Array:
     """Pallas flash attention. Shapes as in ``attention_reference``.
