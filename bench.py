@@ -60,17 +60,17 @@ def main():
         img_embeds.block_until_ready()
         stage["vit_tiles"] = stage.get("vit_tiles", 0.0) + time.time() - t0
 
-        # character slices -> pseudo tokens
-        chars = rng.randint(
-            0, 255, (N_CHARS, cfg.force_image_size, cfg.force_image_size, 3), np.uint8
-        )
+        # character slices -> pseudo tokens (content-canvas transfer format)
         from callireader_tpu.vision import preprocess
 
+        canvas = preprocess.char_content_canvas(cfg.force_image_size)
+        chars = rng.randint(0, 255, (N_CHARS, canvas, canvas, 3), np.uint8)
+
         t0 = time.time()
-        padded, n = preprocess.pad_to_bucket(chars, (N_CHARS,))
-        feats = engine._vision_encode(engine.params, jnp.asarray(padded))
+        feats = engine.encode_char_contents(chars)
         pseudo, _ = engine._resample_vq(engine.params, feats)
-        pseudo = np.asarray(pseudo[: n * cfg.resampler.num_learns])
+        pseudo = pseudo[: N_CHARS * cfg.resampler.num_learns]
+        pseudo.block_until_ready()
         stage["chars_vq"] = stage.get("chars_vq", 0.0) + time.time() - t0
 
         # prompt: system + question + image tokens + pseudo slots

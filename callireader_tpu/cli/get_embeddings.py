@@ -39,7 +39,7 @@ def extract_embedding_for_image(
         if x2 <= x1 or y2 <= y1:
             continue
         crops.append(
-            preprocess.load_char_slice(img[y1:y2, x1:x2], engine.cfg.force_image_size)[0]
+            preprocess.load_char_content(img[y1:y2, x1:x2], engine.cfg.force_image_size)
         )
     if not crops:
         return np.zeros((0, engine.cfg.llm.hidden_size), np.float32)
@@ -48,7 +48,7 @@ def extract_embedding_for_image(
     from callireader_tpu.runtime.engine import CHAR_BUCKETS
 
     padded, n = preprocess.pad_to_bucket(stack, CHAR_BUCKETS)
-    feats = engine._vision_encode(engine.params, jnp.asarray(padded))
+    feats = engine._vision_encode_chars(engine.params, jnp.asarray(padded))
     pseudo, indices = engine._resample_vq(engine.params, feats, hard_vq=hard_vq)
     k = engine.cfg.resampler.num_learns
     pseudo = np.asarray(pseudo[: n * k])

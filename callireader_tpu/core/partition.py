@@ -33,6 +33,7 @@ DEFAULT_RULES: Tuple[Tuple[str, Optional[str]], ...] = (
     ("qkv", "tensor"),
     ("mlp", "tensor"),
     ("vocab", "tensor"),
+    ("expert", "expert"),
     ("vit_embed", None),
     ("vit_mlp", "tensor"),
     ("norm", None),

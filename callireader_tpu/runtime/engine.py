@@ -95,6 +95,7 @@ class CalliReaderEngine:
             else None
         )
         self._vision_encode = jax.jit(self._vision_encode_impl)
+        self._vision_encode_chars = jax.jit(self._vision_encode_chars_impl)
         self._resample_vq = jax.jit(self._resample_vq_impl, static_argnames=("hard_vq",))
         self._build_embeds = jax.jit(self._build_embeds_impl)
         self.timings = Timings()
@@ -110,6 +111,20 @@ class CalliReaderEngine:
             policy=self.policy, use_flash=self.use_flash,
         )
         return projector.extract_feature(params["projector"], hidden, self.cfg, policy=self.policy)
+
+    def _vision_encode_chars_impl(self, params, content_uint8):
+        """(N, canvas, canvas, 3) uint8 char content -> features. The white
+        448-canvas margin is constant, so it is synthesized on-device instead
+        of shipped over the host link (vision/preprocess.load_char_content)."""
+        size = self.cfg.force_image_size
+        canvas = content_uint8.shape[1]
+        pad = (size - canvas) // 2
+        x = jnp.pad(
+            content_uint8,
+            ((0, 0), (pad, size - canvas - pad), (pad, size - canvas - pad), (0, 0)),
+            constant_values=255,
+        )
+        return self._vision_encode_impl(params, x)
 
     def _resample_vq_impl(self, params, feats, hard_vq=False):
         """(N, 256, E) -> pseudo embeds (N*3, E), indices (N, 3)."""
@@ -150,6 +165,18 @@ class CalliReaderEngine:
         padded, n = preprocess.pad_to_bucket(slices, CHAR_BUCKETS)
         feats = self._vision_encode(self.params, jnp.asarray(padded))
         return feats[:n]
+
+    def encode_char_contents(self, contents: np.ndarray, chunk: int = 64) -> jax.Array:
+        """(N, canvas, canvas, 3) uint8 content boxes -> (N, tok, E) features.
+        Chunked so chunk i+1's host->device transfer overlaps chunk i's ViT
+        compute (async dispatch); the white margin is synthesized on-device."""
+        n = contents.shape[0]
+        outs = []
+        for i in range(0, n, chunk):
+            part, real = preprocess.pad_to_bucket(contents[i : i + chunk], CHAR_BUCKETS)
+            feats = self._vision_encode_chars(self.params, jnp.asarray(part))
+            outs.append(feats[:real])
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     # ------------------------------------------------------------------
     # slicing priors + CalliAlign
@@ -222,18 +249,22 @@ class CalliReaderEngine:
             if x2 <= x1 or y2 <= y1:
                 continue
             crops.append(
-                preprocess.load_char_slice(
-                    image[y1:y2, x1:x2], self.cfg.force_image_size, as_uint8=True
-                )[0]
+                preprocess.load_char_content(image[y1:y2, x1:x2], self.cfg.force_image_size)
             )
         if not crops:
             return None, None
-        char_stack = np.stack(crops)  # (N, 448, 448, 3)
+        char_stack = np.stack(crops)  # (N, canvas, canvas, 3) uint8
         self.timings.add("char_crops", time.time() - t0)
 
         t0 = time.time()
-        padded, n = preprocess.pad_to_bucket(char_stack, CHAR_BUCKETS)
-        feats = self._vision_encode(self.params, jnp.asarray(padded))
+        n = char_stack.shape[0]
+        feats = self.encode_char_contents(char_stack)
+        # resampler consumes a bucketed batch
+        fpad, _ = preprocess.pad_to_bucket(np.zeros((n, 1, 1, 1), np.uint8), CHAR_BUCKETS)
+        if fpad.shape[0] != n:
+            feats = jnp.concatenate(
+                [feats, jnp.zeros((fpad.shape[0] - n,) + feats.shape[1:], feats.dtype)]
+            )
         pseudo, indices = self._resample_vq(self.params, feats, hard_vq=hard_vq)
         n_learns = self.cfg.resampler.num_learns
         pseudo = pseudo[: n * n_learns]  # stays on device (d2h readback is slow)

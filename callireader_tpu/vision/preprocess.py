@@ -167,6 +167,45 @@ def load_char_slice(
     return np.stack([conv(t, input_size) for t in tiles])
 
 
+def char_content_canvas(input_size: int = 448) -> int:
+    """Max content edge of a char slice (the [200,350] upper bound, scaled)."""
+    return max(2, round(350 * input_size / 448))
+
+
+def load_char_content(image: ImageLike, input_size: int = 448) -> np.ndarray:
+    """Bandwidth-lean variant of load_char_slice: the scaled content is
+    white-padded only to the 350px content canvas; the device pads the rest of
+    the way to ``input_size`` (models/internvit.pad_char_content). Bit-exact
+    with load_char_slice because the outer padding is constant white and the
+    centering offsets compose: (canvas-n)//2 + (input-canvas)//2 == (input-n)//2
+    for even input-canvas. Returns (canvas, canvas, 3) uint8."""
+    img = open_image(image)
+    w, h = img.size
+    lo = max(1, round(200 * input_size / 448))
+    hi = char_content_canvas(input_size)
+    m = max(w, h)
+    if m <= lo:
+        scale = lo / m
+    elif m >= hi:
+        scale = hi / m
+    else:
+        scale = 1.0
+    nw, nh = int(w * scale), int(h * scale)
+    img = img.resize((nw, nh), Image.BICUBIC)
+    canvas = hi if (input_size - hi) % 2 == 0 else hi + 1
+    img = ImageOps.expand(
+        img,
+        border=(
+            (canvas - nw) // 2,
+            (canvas - nh) // 2,
+            (canvas - nw + 1) // 2,
+            (canvas - nh + 1) // 2,
+        ),
+        fill=(255, 255, 255),
+    )
+    return np.asarray(img, np.uint8)
+
+
 def bucket_tiles(n: int, buckets: Sequence[int] = TILE_BUCKETS) -> int:
     """Smallest bucket >= n (compile-once-per-bucket batching)."""
     for b in buckets:
