@@ -1,0 +1,77 @@
+"""Generic SFT pipeline + packed pretraining dataset + loss integration."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from callireader_tpu.core.config import callireader_tiny
+from callireader_tpu.core.dtypes import FP32_POLICY
+from callireader_tpu.models import internlm2
+from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer
+from callireader_tpu.train import e_it, sft_data
+
+CFG = callireader_tiny()
+TOK = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
+
+
+def test_map_fns():
+    a = sft_data.alpaca_map_fn({"instruction": "写一首诗", "input": "", "output": "好"})
+    assert a["conversation"][0]["input"] == "写一首诗"
+    o = sft_data.openai_map_fn(
+        {"messages": [{"role": "user", "content": "q"}, {"role": "assistant", "content": "a"}]}
+    )
+    assert o["conversation"] == [{"input": "q", "output": "a"}]
+    s = sft_data.sharegpt_map_fn(
+        {"conversations": [{"from": "human", "value": "q"}, {"from": "gpt", "value": "a"}]}
+    )
+    assert s["conversation"] == [{"input": "q", "output": "a"}]
+
+
+def test_tokenize_conversation_labels():
+    rec = sft_data.tokenize_conversation(
+        [{"input": "问题", "output": "回答"}, {"input": "再问", "output": "再答"}], TOK
+    )
+    ids, labels = rec["input_ids"], rec["labels"]
+    assert len(ids) == len(labels)
+    assert labels[0] == e_it.IGNORE_INDEX  # bos
+    n_sup = (labels != e_it.IGNORE_INDEX).sum()
+    assert 0 < n_sup < len(ids)
+    # supervised positions match their input ids
+    m = labels != e_it.IGNORE_INDEX
+    np.testing.assert_array_equal(ids[m], labels[m])
+
+
+def test_packed_dataset(tmp_path):
+    path = tmp_path / "corpus.jsonl"
+    docs = [{"content": "春眠不觉晓，" * 20}, {"content": "hello world. " * 30}, {"content": "处处闻啼鸟。" * 15}]
+    path.write_text("\n".join(json.dumps(d, ensure_ascii=False) for d in docs))
+
+    ds = sft_data.JsonlTextDataset(str(path))
+    assert len(ds) == 3 and "春眠" in ds[0]
+
+    packed = sft_data.PackedTextDataset(ds, TOK, packed_length=128)
+    assert len(packed) >= 1
+    row = packed[0]
+    assert row["input_ids"].shape == (1, 128)
+    seg = row["segment_ids"][0]
+    # positions restart at each segment boundary
+    for s in np.unique(seg[seg >= 0]):
+        pos = row["positions"][0][seg == s]
+        np.testing.assert_array_equal(pos, np.arange(len(pos)))
+
+
+def test_packed_rows_feed_sft_loss(tmp_path):
+    path = tmp_path / "corpus.jsonl"
+    path.write_text(json.dumps({"content": "春眠不觉晓。" * 10}, ensure_ascii=False))
+    packed = sft_data.PackedTextDataset(
+        sft_data.JsonlTextDataset(str(path)), TOK, packed_length=128
+    )
+    batch = next(sft_data.packed_loader(packed, 1))
+    params = {"llm": internlm2.init_params(jax.random.PRNGKey(0), CFG.llm, jnp.float32)}
+    loss, metrics = e_it.eit_loss(
+        params, CFG, {k: jnp.asarray(v) for k, v in batch.items()},
+        policy=FP32_POLICY, use_flash=False, remat=False,
+    )
+    assert np.isfinite(float(loss))
