@@ -122,6 +122,16 @@ def rope_cos_sin(positions: jax.Array, inv_freq: jnp.ndarray) -> Tuple[jax.Array
     return jnp.cos(emb), jnp.sin(emb)
 
 
+def cos_sin_for(cfg: LLMConfig, positions: jax.Array, kv_seq_len: int):
+    """RoPE tables honoring the configured scaling: "linear" divides positions
+    by the factor (sft.py:161-184 _prepare_for_long_context_training);
+    "dynamic" rescales the base past the window (rope_inv_freq)."""
+    pos = positions.astype(jnp.float32)
+    if cfg.rope_scaling_type == "linear":
+        pos = pos / cfg.rope_scaling_factor
+    return rope_cos_sin(pos, rope_inv_freq(cfg, kv_seq_len))
+
+
 def apply_rope(x: jax.Array, cos: jax.Array, sin: jax.Array) -> jax.Array:
     """x (B, H, S, D); cos/sin (B, S, D). rotate_half convention."""
     cos = cos[:, None].astype(jnp.float32)
@@ -249,7 +259,7 @@ def forward(
     B, S, _ = x.shape
     if positions is None:
         positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
-    cos, sin = rope_cos_sin(positions, rope_inv_freq(cfg, S))
+    cos, sin = cos_sin_for(cfg, positions, S)
     if use_flash is None:
         use_flash = jax.devices()[0].platform == "tpu"
 
@@ -303,7 +313,7 @@ def prefill(
     positions = jnp.clip(jnp.cumsum(attention_mask, axis=1) - 1, 0, None)
     segment_ids = jnp.where(attention_mask > 0, 0, -1).astype(jnp.int32)
 
-    cos, sin = rope_cos_sin(positions, rope_inv_freq(cfg, max(S, 1)))
+    cos, sin = cos_sin_for(cfg, positions, max(S, 1))
     if use_flash is None:
         use_flash = jax.devices()[0].platform == "tpu"
 
@@ -351,7 +361,7 @@ def decode_step(
     max_len = cache.max_len
     if positions is None:
         positions = jnp.broadcast_to(cache.length[None, None], (B, S))
-    cos, sin = rope_cos_sin(positions, rope_inv_freq(cfg, max_len))
+    cos, sin = cos_sin_for(cfg, positions, max_len)
 
     slot = jnp.arange(max_len)[None, :]
     if kv_valid_mask is None:
