@@ -19,6 +19,7 @@ def build_engine(
     orderformer_path: Optional[str] = None,
     tokenizer_path: str = DEFAULT_MODEL,
     random_init_ok: bool = False,
+    quant: Optional[str] = None,
 ) -> CalliReaderEngine:
     import jax
     import jax.numpy as jnp
@@ -58,5 +59,18 @@ def build_engine(
             f"checkpoint_dir {checkpoint_dir!r} not found; pass --random-init to run "
             "with random weights"
         )
+
+    if quant == "int8":
+        from callireader_tpu.runtime.quantize import param_bytes, quantize_llm_int8
+
+        before = param_bytes(params["llm"])
+        params["llm"] = quantize_llm_int8(params["llm"])
+        after = param_bytes(params["llm"])
+        print(
+            f"[engine] int8 weight-only quantization: LLM {before/1e9:.1f} GB -> {after/1e9:.1f} GB",
+            file=sys.stderr,
+        )
+    elif quant:
+        raise ValueError(f"unknown quant mode {quant!r}")
 
     return CalliReaderEngine(cfg, params, tok)

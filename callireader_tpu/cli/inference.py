@@ -60,6 +60,7 @@ def main(argv=None):
     parser.add_argument("--preset", type=str, default="callireader-8b")
     parser.add_argument("--checkpoint", type=str, default=os.environ.get("CALLIREADER_CKPT"))
     parser.add_argument("--random-init", action="store_true")
+    parser.add_argument("--quant", type=str, default=None, choices=[None, "int8"])
     args = parser.parse_args(argv)
 
     if not isinstance(args.tgt, str):
@@ -68,7 +69,8 @@ def main(argv=None):
     from callireader_tpu.cli.common import build_engine
 
     engine = build_engine(
-        preset=args.preset, checkpoint_dir=args.checkpoint, random_init_ok=args.random_init
+        preset=args.preset, checkpoint_dir=args.checkpoint, random_init_ok=args.random_init,
+        quant=args.quant,
     )
 
     def rec(image_path):

@@ -173,10 +173,14 @@ jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v", "length"], meta
 
 
 def _proj(p, h, name: str):
-    """Linear with optional LoRA adapter leaves ``{name}_lora_a/b`` and scale
-    ``lora_scale`` (train/lora.py). W_eff = W + scale * A @ B, computed as
-    (h@A)@B to stay low-rank."""
-    y = h @ p[name].astype(h.dtype)
+    """Linear with optional LoRA adapter leaves ``{name}_lora_a/b`` (+scale,
+    train/lora.py) and optional int8 weight-only quantization ``{name}_q`` +
+    ``{name}_scale`` (runtime/quantize.py): y = (h @ q) * scale."""
+    q = p.get(f"{name}_q")
+    if q is not None:
+        y = (h @ q.astype(h.dtype)) * p[f"{name}_scale"].astype(h.dtype)
+    else:
+        y = h @ p[name].astype(h.dtype)
     a = p.get(f"{name}_lora_a")
     if a is not None:
         b = p[f"{name}_lora_b"]
@@ -224,13 +228,25 @@ def _run_layers(params, cfg, x, cos, sin, attn_fn, policy, remat: bool = False):
     return x, kv
 
 
+def embed_tokens(params, input_ids, dtype=jnp.bfloat16):
+    """Token embedding lookup, int8-aware (rows dequantized post-gather)."""
+    if "tok_embeddings_q" in params:
+        rows = jnp.take(params["tok_embeddings_q"], input_ids, axis=0).astype(dtype)
+        scale = jnp.take(params["tok_embeddings_scale"], input_ids, axis=0).astype(dtype)
+        return rows * scale
+    return jnp.take(params["tok_embeddings"], input_ids, axis=0).astype(dtype)
+
+
 def _embed(params, input_ids, inputs_embeds, policy):
     if inputs_embeds is None:
-        inputs_embeds = jnp.take(params["tok_embeddings"], input_ids, axis=0)
+        inputs_embeds = embed_tokens(params, input_ids, policy.compute_dtype)
     return inputs_embeds.astype(policy.compute_dtype)
 
 
 def _logits(params, x, policy):
+    if "output_q" in params:
+        y = x @ params["output_q"].T.astype(x.dtype)
+        return (y * params["output_scale"][:, 0].astype(x.dtype)).astype(policy.logits_dtype)
     return (x @ params["output"].T.astype(x.dtype)).astype(policy.logits_dtype)
 
 

@@ -139,8 +139,9 @@ class CalliReaderEngine:
 
     def _build_embeds_impl(self, params, input_ids, img_embeds, pseudo_embeds):
         """Token embed + double splice (<IMG_CONTEXT>=img, ALIGNED=pseudo)."""
-        embeds = jnp.take(params["llm"]["tok_embeddings"], input_ids, axis=0)
-        embeds = embeds.astype(self.policy.compute_dtype)
+        from callireader_tpu.models.internlm2 import embed_tokens
+
+        embeds = embed_tokens(params["llm"], input_ids, self.policy.compute_dtype)
         if img_embeds is not None:
             embeds = vq_mod.splice_embeds(
                 embeds, input_ids, img_embeds, self.cfg.img_context_token_id
@@ -456,11 +457,10 @@ class CalliReaderEngine:
             )
             rows.append(np.asarray(embeds[0]))
 
+        from callireader_tpu.models.internlm2 import embed_tokens
+
         pad_vec = np.asarray(
-            jnp.take(
-                self.params["llm"]["tok_embeddings"],
-                jnp.asarray([self.tok.pad_token_id]), axis=0,
-            )
+            embed_tokens(self.params["llm"], jnp.asarray([self.tok.pad_token_id]))
         )[0].astype(rows[0].dtype)
         embeds, mask = gen.pad_embeds_left(rows, pad_vec)
         gen_cfg = gen.GenerateConfig(
@@ -568,8 +568,10 @@ class CalliReaderEngine:
             )
             rows.append(np.asarray(embeds[0]))
 
+        from callireader_tpu.models.internlm2 import embed_tokens
+
         pad_vec = np.asarray(
-            jnp.take(self.params["llm"]["tok_embeddings"], jnp.asarray([self.tok.pad_token_id]), axis=0)
+            embed_tokens(self.params["llm"], jnp.asarray([self.tok.pad_token_id]))
         )[0].astype(rows[0].dtype)
         embeds, mask = gen.pad_embeds_left(rows, pad_vec)
         gen_cfg = gen.GenerateConfig(

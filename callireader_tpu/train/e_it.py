@@ -112,8 +112,7 @@ def eit_loss(
     input_ids = batch["input_ids"]
     labels = batch["labels"]
 
-    embeds = jnp.take(params["llm"]["tok_embeddings"], input_ids, axis=0)
-    embeds = embeds.astype(policy.compute_dtype)
+    embeds = internlm2.embed_tokens(params["llm"], input_ids, policy.compute_dtype)
 
     if "pixel_values" in batch:
         hidden = internvit.forward(

@@ -1,0 +1,60 @@
+"""int8 weight-only quantization: accuracy, size, decode equivalence."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from callireader_tpu.core.config import callireader_tiny
+from callireader_tpu.core.dtypes import FP32_POLICY
+from callireader_tpu.models import internlm2
+from callireader_tpu.runtime import quantize
+from callireader_tpu.runtime import generate as gen
+
+CFG = callireader_tiny().llm
+
+
+def test_quantize_roundtrip_error_small():
+    w = jax.random.normal(jax.random.PRNGKey(0), (64, 128)) * 0.02
+    q, scale = quantize.quantize_weight(w)
+    deq = quantize.dequantize_weight(q, scale, jnp.float32)
+    rel = float(jnp.max(jnp.abs(deq - w)) / jnp.max(jnp.abs(w)))
+    assert rel < 0.01
+    assert q.dtype == jnp.int8
+
+
+def test_quantized_llm_smaller_and_close():
+    params = internlm2.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    qparams = quantize.quantize_llm_int8(params)
+    assert quantize.param_bytes(qparams) < 0.4 * quantize.param_bytes(params)
+
+    ids = jnp.asarray(np.array([[1, 5, 9, 3, 7, 11]], np.int32))
+    full = internlm2.forward(params, CFG, input_ids=ids, policy=FP32_POLICY, use_flash=False)
+    quant = internlm2.forward(qparams, CFG, input_ids=ids, policy=FP32_POLICY, use_flash=False)
+    pf = jax.nn.softmax(full, axis=-1)
+    pq = jax.nn.softmax(quant, axis=-1)
+    # distributions stay close (tiny random model is the hard case)
+    tvd = float(0.5 * jnp.abs(pf - pq).sum(-1).mean())
+    assert tvd < 0.15, tvd
+
+
+def test_quantized_greedy_decode_runs():
+    params = internlm2.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    qparams = quantize.quantize_llm_int8(params)
+    embeds = internlm2.embed_tokens(qparams, jnp.asarray([[1, 5, 9]]), jnp.float32)
+    toks, lengths = gen.generate_from_embeds(
+        qparams, CFG, embeds, jnp.ones((1, 3), jnp.int32),
+        gen_cfg=gen.GenerateConfig(max_new_tokens=4, eos_token_ids=(-1,)),
+        max_cache_len=16, policy=FP32_POLICY, use_flash=False,
+    )
+    assert int(lengths[0]) == 4
+
+
+def test_quantized_axes_cover_all_leaves():
+    params = internlm2.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    qparams = quantize.quantize_llm_int8(params)
+    axes = quantize.quantized_logical_axes(internlm2.logical_axes(CFG), qparams)
+    # identical tree structure
+    assert jax.tree.structure(jax.tree.map(lambda _: 0, qparams)) == jax.tree.structure(
+        jax.tree.map(lambda _: 0, axes,
+                     is_leaf=lambda x: isinstance(x, tuple) or x is None)
+    )
