@@ -179,6 +179,23 @@ class CalliReaderEngine:
             outs.append(feats[:real])
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
+    def _prep_char_crops(self, raw_crops: List[np.ndarray]) -> np.ndarray:
+        """Crop -> scale into [200,350] -> white-pad content canvas, batched.
+        Uses the multithreaded native library (callireader_tpu/native) when it
+        builds; PIL fallback is within ±3/255 (tests/test_native_prep.py)."""
+        from callireader_tpu.vision import native
+
+        size = self.cfg.force_image_size
+        if native.available():
+            canvas = preprocess.char_content_canvas(size)
+            canvas = canvas if (size - canvas) % 2 == 0 else canvas + 1
+            lo = max(1, round(200 * size / 448))
+            hi = preprocess.char_content_canvas(size)
+            return native.char_content_batch(raw_crops, canvas, lo, hi)
+        return np.stack(
+            [preprocess.load_char_content(c, size) for c in raw_crops]
+        )
+
     # ------------------------------------------------------------------
     # slicing priors + CalliAlign
     # ------------------------------------------------------------------
@@ -244,17 +261,15 @@ class CalliReaderEngine:
             return None, None
 
         t0 = time.time()
-        crops = []
+        raw_crops = []
         for x1, y1, x2, y2 in ordered:
             x1, y1, x2, y2 = int(x1), int(y1), int(x2), int(y2)
             if x2 <= x1 or y2 <= y1:
                 continue
-            crops.append(
-                preprocess.load_char_content(image[y1:y2, x1:x2], self.cfg.force_image_size)
-            )
-        if not crops:
+            raw_crops.append(image[y1:y2, x1:x2])
+        if not raw_crops:
             return None, None
-        char_stack = np.stack(crops)  # (N, canvas, canvas, 3) uint8
+        char_stack = self._prep_char_crops(raw_crops)  # (N, canvas, canvas, 3) u8
         self.timings.add("char_crops", time.time() - t0)
 
         t0 = time.time()
