@@ -200,14 +200,16 @@ class CalliReaderEngine:
     # slicing priors + CalliAlign
     # ------------------------------------------------------------------
 
-    def iterative_detect(self, image: np.ndarray) -> List[List[List[float]]]:
+    def iterative_detect(self, image: np.ndarray, max_passes: int = 10) -> List[List[List[float]]]:
         """Iterative YOLO with masking when a pass saturates >250 boxes
-        (modeling_internvl_chat.py:346-394). Returns pair-format boxes."""
+        (modeling_internvl_chat.py:346-394). Returns pair-format boxes.
+        ``max_passes`` bounds the loop for degenerate detectors (the reference
+        relies on convergence of its trained weights)."""
         img = image.copy()
         h, w = img.shape[:2]
         color = boxes_mod.most_frequent_rgb_fast(img)
         flat_boxes: List[List[float]] = []
-        while True:
+        for _ in range(max_passes):
             dets = self.detector(img)
             to_mask = [[int(b[0]), int(b[1]), int(b[2]), int(b[3])] for b in dets]
             flat_boxes.extend(to_mask)
@@ -307,6 +309,20 @@ class CalliReaderEngine:
         ids = self.tok.encode(query, add_bos=True)
         return np.asarray(ids, np.int32)
 
+    PSEUDO_ROW_BUCKETS = (24, 48, 96, 192, 384, 576, 768, 960)
+
+    @staticmethod
+    def _pad_rows(arr: jax.Array, buckets: Sequence[int]) -> jax.Array:
+        """Pad replacement rows up to a bucket so _build_embeds compiles once
+        per bucket instead of once per image (splice ignores extra rows)."""
+        n = arr.shape[0]
+        target = next((b for b in buckets if b >= n), n)
+        if target == n:
+            return arr
+        return jnp.concatenate(
+            [arr, jnp.zeros((target - n,) + arr.shape[1:], arr.dtype)], axis=0
+        )
+
     def _generate(
         self,
         input_ids: np.ndarray,  # (S,)
@@ -321,8 +337,15 @@ class CalliReaderEngine:
         mask = np.zeros((1, bucket), np.int32)
         mask[0, bucket - S :] = 1
 
-        img = img_embeds.reshape(-1, img_embeds.shape[-1]) if img_embeds is not None else None
-        pseudo = jnp.asarray(pseudo_embeds) if pseudo_embeds is not None else None
+        nit = self.cfg.num_image_token
+        img = None
+        if img_embeds is not None:
+            flat = img_embeds.reshape(-1, img_embeds.shape[-1])
+            tile_buckets = [b * nit for b in preprocess.TILE_BUCKETS]
+            img = self._pad_rows(flat, tile_buckets)
+        pseudo = None
+        if pseudo_embeds is not None:
+            pseudo = self._pad_rows(jnp.asarray(pseudo_embeds), self.PSEUDO_ROW_BUCKETS)
         embeds = self._build_embeds(self.params, jnp.asarray(padded_ids), img, pseudo)
 
         max_cache = bucket + gen_cfg.max_new_tokens

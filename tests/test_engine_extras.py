@@ -1,0 +1,63 @@
+"""dynamic_chat, region-wise crop, multi-turn history, batch_chat_ocr."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from PIL import Image
+
+from callireader_tpu.core.config import callireader_tiny
+from callireader_tpu.core.dtypes import FP32_POLICY
+from callireader_tpu.runtime.engine import CalliReaderEngine, init_all_params
+from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer
+
+CFG = callireader_tiny()
+
+
+@pytest.fixture(scope="module")
+def engine():
+    params = init_all_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
+    eng = CalliReaderEngine(CFG, params, tok, policy=FP32_POLICY, use_flash=False)
+    eng.detector = lambda img: [[8.0, 8.0, 24.0, 24.0]]
+    return eng
+
+
+def _img(seed=0):
+    return Image.fromarray(
+        np.random.RandomState(seed).randint(100, 255, (80, 60, 3), np.uint8)
+    )
+
+
+def test_dynamic_chat(engine):
+    resp = engine.dynamic_chat(_img(), "这幅书法作品内容是什么？", max_new_tokens=3)
+    assert isinstance(resp, str)
+
+
+def test_region_wise_chat_ocr(engine):
+    resp = engine.chat_ocr(
+        _img(), "读出区域 10 50 5 70 的文字", region_wise=True, max_new_tokens=3
+    )
+    assert isinstance(resp, str)
+
+
+def test_multi_turn_history(engine):
+    r1, hist = engine.chat_ocr(
+        _img(), "这幅书法作品内容是什么？", return_history=True, max_new_tokens=3
+    )
+    assert len(hist) == 1
+    r2, hist = engine.chat_ocr(
+        _img(), "作者是谁？", history=hist, return_history=True, max_new_tokens=3
+    )
+    assert len(hist) == 2 and hist[1][1] == r2
+
+
+def test_batch_chat_ocr(engine):
+    out = engine.batch_chat_ocr(
+        [_img(1), _img(2)], ["读出图中所有文字。"] * 2, max_new_tokens=3
+    )
+    assert len(out) == 2 and all(isinstance(r, str) for r in out)
+
+
+def test_find_coordinates():
+    assert CalliReaderEngine.find_coordinates("区域 10 20 30 40") == [10, 20, 30, 40]
