@@ -360,6 +360,65 @@ def prefill(
     return last_logits, cache
 
 
+def decode_step_multislot(
+    params: Params,
+    cfg: LLMConfig,
+    *,
+    input_ids: jax.Array,  # (B, 1) — one in-flight token per slot
+    cache_k: jax.Array,  # (L, B, Hkv, max_len, D)
+    cache_v: jax.Array,
+    lengths: jax.Array,  # (B,) valid tokens per slot (write position)
+    active: jax.Array,  # (B,) bool — inactive slots produce garbage, ignored
+    starts: Optional[jax.Array] = None,  # (B,) first attendable cache position
+    policy: DTypePolicy = DEFAULT_POLICY,
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Continuous-batching decode: every slot advances one token at its own
+    position. Returns (logits (B, V), cache_k, cache_v). The caller updates
+    lengths for active slots. Per-slot K/V writes are batched scatters."""
+    x = _embed(params, input_ids, None, policy)
+    B, S, _ = x.shape
+    max_len = cache_k.shape[3]
+    positions = (lengths if starts is None else lengths - starts)[:, None]  # (B, 1)
+    cos, sin = cos_sin_for(cfg, positions, max_len)
+
+    slot_pos = jnp.arange(max_len)[None, :]
+    valid = slot_pos <= lengths[:, None]
+    if starts is not None:
+        # left-padded prompts: positions before `starts` hold masked pad k/v
+        valid = jnp.logical_and(valid, slot_pos >= starts[:, None])
+    kv_seg = jnp.where(valid, 0, -9).astype(jnp.int32)
+    q_seg = jnp.zeros((B, S), jnp.int32)
+    batch_idx = jnp.arange(B)
+
+    def body(carry, p):
+        x, ck, cv, idx = carry
+        h = rms_norm(x, p["attn_norm"], cfg.rms_norm_eps, policy)
+        q, k, v = _qkv(p, h, cfg)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        # scatter new token k/v at (idx, b, :, lengths[b], :) for every slot
+        ck = ck.at[idx, batch_idx, :, lengths, :].set(k[:, :, 0, :].astype(ck.dtype))
+        cv = cv.at[idx, batch_idx, :, lengths, :].set(v[:, :, 0, :].astype(cv.dtype))
+        layer_k = jax.lax.dynamic_index_in_dim(ck, idx, 0, keepdims=False)
+        layer_v = jax.lax.dynamic_index_in_dim(cv, idx, 0, keepdims=False)
+        ctx = attention_reference(
+            q, layer_k.astype(q.dtype), layer_v.astype(q.dtype),
+            causal=False, q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+        )
+        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, -1)
+        x = x + _proj(p, ctx, "wo")
+        x = _mlp(p, x, cfg, policy)
+        return (x, ck, cv, idx + 1), None
+
+    (x, ck, cv, _), _ = jax.lax.scan(
+        body, (x, cache_k, cache_v, jnp.zeros((), jnp.int32)), params["layers"]
+    )
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
+    logits = _logits(params, x, policy)[:, 0]
+    del active  # masking is the caller's concern; kept in the API for clarity
+    return logits, ck, cv
+
+
 def decode_step(
     params: Params,
     cfg: LLMConfig,

@@ -1,0 +1,177 @@
+"""Continuous-batching serving scheduler.
+
+No reference equivalent — the reference decodes one request at a time through
+HF generate (evaluate.py:142-143 runs CalliBench strictly sequentially). This
+scheduler keeps a fixed pool of KV-cache slots busy: requests prefill into free
+slots as they arrive and every active slot advances one token per device step,
+so short answers retire early and their slots are refilled without waiting for
+the longest request in a batch (the static-batching failure mode).
+
+Device programs (both jitted once per shape):
+  - single-row prefill (internlm2.prefill at the prompt bucket)
+  - multi-slot decode (internlm2.decode_step_multislot over the slot pool)
+Host keeps the queue/slot bookkeeping — O(slots) python per step.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from callireader_tpu.core.config import LLMConfig
+from callireader_tpu.core.dtypes import DTypePolicy, DEFAULT_POLICY
+from callireader_tpu.models import internlm2
+from callireader_tpu.runtime import generate as gen
+
+
+@dataclasses.dataclass
+class Request:
+    uid: int
+    embeds: np.ndarray  # (S, E) prompt embeddings (post-splice)
+    max_new_tokens: int = 1024
+    eos_token_ids: Tuple[int, ...] = (92542,)
+    repetition_penalty: float = 1.0
+    # filled on completion:
+    tokens: Optional[List[int]] = None
+
+
+class ContinuousBatcher:
+    def __init__(
+        self,
+        llm_params: Dict[str, Any],
+        cfg: LLMConfig,
+        *,
+        num_slots: int = 8,
+        max_len: int = 4096,
+        policy: DTypePolicy = DEFAULT_POLICY,
+        use_flash: Optional[bool] = None,
+        cache_dtype=jnp.bfloat16,
+    ):
+        self.params = llm_params
+        self.cfg = cfg
+        self.B = num_slots
+        self.max_len = max_len
+        self.policy = policy
+        self.use_flash = use_flash
+        shape = (
+            cfg.num_hidden_layers, num_slots, cfg.num_key_value_heads,
+            max_len, cfg.head_dim,
+        )
+        self.cache_k = jnp.zeros(shape, cache_dtype)
+        self.cache_v = jnp.zeros(shape, cache_dtype)
+        self.lengths = np.zeros(num_slots, np.int64)
+        self.starts = np.zeros(num_slots, np.int64)
+        self.slot_req: List[Optional[Request]] = [None] * num_slots
+        self.slot_seen: List[Optional[np.ndarray]] = [None] * num_slots
+        self.last_logits = jnp.zeros((num_slots, cfg.vocab_size), jnp.float32)
+        self.queue: List[Request] = []
+        self.done: List[Request] = []
+
+        self._decode = jax.jit(
+            lambda p, ids, ck, cv, lengths, active, starts: internlm2.decode_step_multislot(
+                p, cfg, input_ids=ids, cache_k=ck, cache_v=cv,
+                lengths=lengths, active=active, starts=starts, policy=policy,
+            )
+        )
+        self._insert = jax.jit(self._insert_impl, donate_argnums=(1, 2))
+        self._prefill_cache: Dict[int, Callable] = {}
+
+    # ------------------------------------------------------------------
+
+    def _prefill_fn(self, bucket: int):
+        if bucket not in self._prefill_cache:
+            self._prefill_cache[bucket] = jax.jit(
+                lambda p, e, m: internlm2.prefill(
+                    p, self.cfg, inputs_embeds=e, attention_mask=m,
+                    max_len=self.max_len, policy=self.policy,
+                    use_flash=self.use_flash, cache_dtype=self.cache_k.dtype,
+                )
+            )
+        return self._prefill_cache[bucket]
+
+    def _insert_impl(self, src_kv, cache_k, cache_v, slot):
+        sk, sv = src_kv  # (L, 1, Hkv, max_len, D)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, sk, (0, slot, 0, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, sv, (0, slot, 0, 0, 0))
+        return cache_k, cache_v
+
+    def submit(self, req: Request) -> None:
+        self.queue.append(req)
+
+    def _fill_free_slots(self) -> None:
+        for slot in range(self.B):
+            if self.slot_req[slot] is not None or not self.queue:
+                continue
+            req = self.queue.pop(0)
+            S = req.embeds.shape[0]
+            bucket = gen.bucket_length(S)
+            embeds = np.zeros((1, bucket, req.embeds.shape[-1]), req.embeds.dtype)
+            embeds[0, bucket - S:] = req.embeds
+            mask = np.zeros((1, bucket), np.int32)
+            mask[0, bucket - S:] = 1
+            logits, cache = self._prefill_fn(bucket)(
+                self.params, jnp.asarray(embeds), jnp.asarray(mask)
+            )
+            self.cache_k, self.cache_v = self._insert(
+                (cache.k, cache.v), self.cache_k, self.cache_v, jnp.asarray(slot, jnp.int32)
+            )
+            self.last_logits = self.last_logits.at[slot].set(logits[0])
+            self.lengths[slot] = bucket  # left-padded rows occupy [0, bucket)
+            self.starts[slot] = bucket - S
+            self.slot_req[slot] = req
+            self.slot_seen[slot] = np.zeros(self.cfg.vocab_size, bool)
+            req.tokens = []
+
+    def step(self) -> int:
+        """One scheduler tick: fill slots, sample every active slot's next
+        token, run one fused decode. Returns number of active slots."""
+        self._fill_free_slots()
+        active = [s for s in range(self.B) if self.slot_req[s] is not None]
+        if not active:
+            return 0
+
+        logits = np.asarray(self.last_logits)
+        next_tokens = np.zeros(self.B, np.int32)
+        for s in active:
+            req = self.slot_req[s]
+            lg = logits[s]
+            if req.repetition_penalty != 1.0:
+                pen = np.where(lg < 0, lg * req.repetition_penalty, lg / req.repetition_penalty)
+                lg = np.where(self.slot_seen[s], pen, lg)
+            tok = int(lg.argmax())
+            req.tokens.append(tok)
+            self.slot_seen[s][tok] = True
+            next_tokens[s] = tok
+            if tok in req.eos_token_ids or len(req.tokens) >= req.max_new_tokens or (
+                self.lengths[s] + 1 >= self.max_len
+            ):
+                self.done.append(req)
+                self.slot_req[s] = None
+                self.slot_seen[s] = None
+
+        still = [s for s in range(self.B) if self.slot_req[s] is not None]
+        if still:
+            active_mask = np.zeros(self.B, bool)
+            active_mask[still] = True
+            logits_new, self.cache_k, self.cache_v = self._decode(
+                self.params, jnp.asarray(next_tokens[:, None]),
+                self.cache_k, self.cache_v,
+                jnp.asarray(self.lengths.astype(np.int32)),
+                jnp.asarray(active_mask),
+                jnp.asarray(self.starts.astype(np.int32)),
+            )
+            self.last_logits = logits_new
+            for s in still:
+                self.lengths[s] += 1
+        return len(still)
+
+    def run(self) -> List[Request]:
+        """Drain queue + slots to completion; returns finished requests."""
+        while self.queue or any(r is not None for r in self.slot_req):
+            self.step()
+        out, self.done = self.done, []
+        return out

@@ -1,0 +1,88 @@
+"""Continuous batching: token parity with the fused single-request path,
+slot reuse, mixed prompt lengths."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from callireader_tpu.core.config import callireader_tiny
+from callireader_tpu.core.dtypes import FP32_POLICY
+from callireader_tpu.models import internlm2
+from callireader_tpu.runtime import generate as gen
+from callireader_tpu.runtime.serving import ContinuousBatcher, Request
+
+CFG = callireader_tiny().llm
+
+
+def _params():
+    return internlm2.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+
+
+def _embeds(params, ids):
+    return np.asarray(internlm2.embed_tokens(params, jnp.asarray(ids), jnp.float32))
+
+
+def _reference_tokens(params, ids, n, rep=1.0):
+    e = _embeds(params, np.asarray(ids)[None])
+    toks, lengths = gen.generate_from_embeds(
+        params, CFG, jnp.asarray(e), jnp.ones((1, len(ids)), jnp.int32),
+        gen_cfg=gen.GenerateConfig(
+            max_new_tokens=n, eos_token_ids=(-1,), repetition_penalty=rep
+        ),
+        max_cache_len=256, policy=FP32_POLICY, use_flash=False,
+    )
+    return list(np.asarray(toks)[0, : int(lengths[0])])
+
+
+def test_matches_single_request_path():
+    params = _params()
+    batcher = ContinuousBatcher(
+        params, CFG, num_slots=3, max_len=256, policy=FP32_POLICY,
+        use_flash=False, cache_dtype=jnp.float32,
+    )
+    prompts = [[1, 5, 9, 3], [1, 7, 11], [1, 42, 17, 23, 8]]
+    for uid, ids in enumerate(prompts):
+        batcher.submit(
+            Request(uid, _embeds(params, np.asarray(ids)[None])[0],
+                    max_new_tokens=6, eos_token_ids=(-1,))
+        )
+    done = batcher.run()
+    assert len(done) == 3
+    by_uid = {r.uid: r.tokens for r in done}
+    for uid, ids in enumerate(prompts):
+        expected = _reference_tokens(params, ids, 6)
+        assert by_uid[uid] == expected, (uid, by_uid[uid], expected)
+
+
+def test_slots_refill_from_queue():
+    params = _params()
+    batcher = ContinuousBatcher(
+        params, CFG, num_slots=2, max_len=256, policy=FP32_POLICY,
+        use_flash=False, cache_dtype=jnp.float32,
+    )
+    # 5 requests through 2 slots
+    for uid in range(5):
+        ids = [1, 10 + uid]
+        batcher.submit(
+            Request(uid, _embeds(params, np.asarray(ids)[None])[0],
+                    max_new_tokens=3, eos_token_ids=(-1,))
+        )
+    done = batcher.run()
+    assert sorted(r.uid for r in done) == [0, 1, 2, 3, 4]
+    for r in done:
+        assert len(r.tokens) == 3
+
+
+def test_repetition_penalty_parity():
+    params = _params()
+    batcher = ContinuousBatcher(
+        params, CFG, num_slots=1, max_len=256, policy=FP32_POLICY,
+        use_flash=False, cache_dtype=jnp.float32,
+    )
+    ids = [1, 5, 9, 3]
+    batcher.submit(
+        Request(0, _embeds(params, np.asarray(ids)[None])[0],
+                max_new_tokens=6, eos_token_ids=(-1,), repetition_penalty=1.5)
+    )
+    done = batcher.run()
+    assert done[0].tokens == _reference_tokens(params, ids, 6, rep=1.5)
