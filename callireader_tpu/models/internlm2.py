@@ -268,9 +268,14 @@ def forward(
     interpret: bool = False,
     remat: bool = False,
     return_hidden: bool = False,
+    attn_override=None,
 ) -> jax.Array:
     """Full-sequence forward (training / eval). Returns logits (B,S,V) fp32,
-    or final hidden states if ``return_hidden``."""
+    or final hidden states if ``return_hidden``.
+
+    ``attn_override(q, k, v) -> ctx`` replaces the attention primitive — used
+    by the sequence-parallel trainer to drop in the Ulysses shard_map kernel
+    (parallel/ulysses.py) while everything else stays identical."""
     x = _embed(params, input_ids, inputs_embeds, policy)
     B, S, _ = x.shape
     if positions is None:
@@ -281,7 +286,9 @@ def forward(
 
     def attn_fn(q, k, v, idx):
         del idx
-        if use_flash:
+        if attn_override is not None:
+            ctx = attn_override(q, k, v)
+        elif use_flash:
             ctx = flash_attention(
                 q, k, v, causal=True,
                 q_segment_ids=segment_ids, kv_segment_ids=segment_ids,

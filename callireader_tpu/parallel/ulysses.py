@@ -46,10 +46,24 @@ def ulysses_attention(
     interpret: bool = False,
 ) -> jax.Array:
     """Sequence-parallel attention: inputs/outputs sharded on the sequence
-    dim; internally each device holds full sequence for H/sp heads."""
+    dim; internally each device holds the full sequence for H/sp heads.
+
+    When heads % sp != 0 the inner-SP path kicks in (reference
+    attention.py:30-92): head_dim is split so the exchange divides, then
+    gathered back over the inner subgroup (axis_index_groups) so attention
+    still runs on full-dimension heads.
+    """
+    import math
+
     sp = mesh.shape[seq_axis]
     Hq, Hkv = q.shape[1], k.shape[1]
-    inner = sp // Hkv if Hkv % sp != 0 and sp % Hkv == 0 else 1
+    if Hq != Hkv:
+        # GQA: replicate KV heads so the head exchange is uniform
+        k = jnp.repeat(k, Hq // Hkv, axis=1)
+        v = jnp.repeat(v, Hq // Hkv, axis=1)
+    insp = sp // math.gcd(Hq, sp)
+    assert (Hq * insp) % sp == 0
+    inner_groups = [list(range(g * insp, (g + 1) * insp)) for g in range(sp // insp)]
 
     @functools.partial(
         jax.shard_map,
@@ -62,27 +76,56 @@ def ulysses_attention(
         out_specs=P(None, None, seq_axis, None),
     )
     def run(q, k, v):
-        if inner > 1:
-            # split head_dim so the (few) KV heads divide across sp ranks
-            def split_hd(t):
-                B, H, S, D = t.shape
-                return t.reshape(B, H * inner, S, D // inner)
+        B, H, Sl, D = q.shape
 
-            q_, k_, v_ = split_hd(q), split_hd(k), split_hd(v)
+        def pre_inner(t):
+            # (B, H, S, D) -> (B, sp/insp, H*insp/sp, insp, S, D/insp)
+            #              -> (B, insp * H, S, D/insp)  [insp-major inside groups]
+            t = t.reshape(B, sp // insp, H * insp // sp, Sl, insp, D // insp)
+            t = t.transpose(0, 1, 4, 2, 3, 5)
+            return t.reshape(B, H * insp, Sl, D // insp)
+
+        def post_inner(t):
+            # inverse of pre_inner on the context
+            Bp, Hp, Sp_, Dp = t.shape
+            t = t.reshape(B, sp // insp, insp, H * insp // sp, Sp_, Dp)
+            t = t.transpose(0, 1, 3, 4, 2, 5)
+            return t.reshape(B, H, Sp_, Dp * insp)
+
+        if insp > 1:
+            q_, k_, v_ = pre_inner(q), pre_inner(k), pre_inner(v)
         else:
             q_, k_, v_ = q, k, v
         qg = _a2a_gather_seq(q_, seq_axis)
         kg = _a2a_gather_seq(k_, seq_axis)
         vg = _a2a_gather_seq(v_, seq_axis)
-        scale = q.shape[-1] ** -0.5  # scale by the ORIGINAL head_dim
+
+        if insp > 1:
+            # reassemble full head_dim across the inner subgroup (every inner
+            # rank ends up with the same full-dim heads, redundantly)
+            def gather_hd(t):
+                return jax.lax.all_gather(
+                    t, seq_axis, axis_index_groups=inner_groups, axis=3, tiled=True
+                )
+
+            qg, kg, vg = gather_hd(qg), gather_hd(kg), gather_hd(vg)
+
+        scale = q.shape[-1] ** -0.5  # ORIGINAL head_dim
         if use_flash:
             ctx = flash_attention(qg, kg, vg, causal=causal, scale=scale, interpret=interpret)
         else:
             ctx = attention_reference(qg, kg, vg, causal=causal, scale=scale)
+
+        if insp > 1:
+            # keep only this rank's head_dim slice before the reverse exchange
+            ridx = jax.lax.axis_index(seq_axis) % insp
+            Dfull = ctx.shape[-1]
+            ctx = jax.lax.dynamic_slice_in_dim(
+                ctx, ridx * (Dfull // insp), Dfull // insp, axis=3
+            )
         ctx = _a2a_gather_heads(ctx, seq_axis)
-        if inner > 1:
-            B, H, S, D = ctx.shape
-            ctx = ctx.reshape(B, H // inner, S, D * inner)
+        if insp > 1:
+            ctx = post_inner(ctx)
         return ctx
 
     return run(q, k, v)

@@ -323,15 +323,16 @@ class CalliReaderEngine:
             [arr, jnp.zeros((target - n,) + arr.shape[1:], arr.dtype)], axis=0
         )
 
-    def _generate(
+    def _build_row_embeds(
         self,
         input_ids: np.ndarray,  # (S,)
         img_embeds: Optional[jax.Array],
         pseudo_embeds: Optional[np.ndarray],
-        gen_cfg: gen.GenerateConfig,
-    ) -> List[int]:
+        bucket: int,
+    ) -> Tuple[jax.Array, np.ndarray]:
+        """-> (embeds (1, bucket, E) on device, mask (1, bucket)). Left-padded;
+        replacement rows bucketed so splice compiles once per bucket combo."""
         S = len(input_ids)
-        bucket = gen.bucket_length(S)
         padded_ids = np.full((1, bucket), self.tok.pad_token_id, np.int32)
         padded_ids[0, bucket - S :] = input_ids
         mask = np.zeros((1, bucket), np.int32)
@@ -347,6 +348,18 @@ class CalliReaderEngine:
         if pseudo_embeds is not None:
             pseudo = self._pad_rows(jnp.asarray(pseudo_embeds), self.PSEUDO_ROW_BUCKETS)
         embeds = self._build_embeds(self.params, jnp.asarray(padded_ids), img, pseudo)
+        return embeds, mask
+
+    def _generate(
+        self,
+        input_ids: np.ndarray,  # (S,)
+        img_embeds: Optional[jax.Array],
+        pseudo_embeds: Optional[np.ndarray],
+        gen_cfg: gen.GenerateConfig,
+    ) -> List[int]:
+        S = len(input_ids)
+        bucket = gen.bucket_length(S)
+        embeds, mask = self._build_row_embeds(input_ids, img_embeds, pseudo_embeds, bucket)
 
         max_cache = bucket + gen_cfg.max_new_tokens
         t0 = time.time()
@@ -488,19 +501,14 @@ class CalliReaderEngine:
             query = self._expand_image_tokens(conv.get_prompt(), [pixel_values.shape[0]])
             ids = self._tokenize_prompt(query)
             img_embeds = self.encode_image_tiles(pixel_values)
-            embeds = self._build_embeds(
-                self.params, jnp.asarray(ids[None]),
-                img_embeds.reshape(-1, img_embeds.shape[-1]),
-                jnp.asarray(pseudo) if pseudo is not None else None,
-            )
-            rows.append(np.asarray(embeds[0]))
+            rows.append((ids, img_embeds, pseudo))
 
-        from callireader_tpu.models.internlm2 import embed_tokens
-
-        pad_vec = np.asarray(
-            embed_tokens(self.params["llm"], jnp.asarray([self.tok.pad_token_id]))
-        )[0].astype(rows[0].dtype)
-        embeds, mask = gen.pad_embeds_left(rows, pad_vec)
+        bucket = gen.bucket_length(max(len(r[0]) for r in rows))
+        built = [
+            self._build_row_embeds(ids, img, ps, bucket) for ids, img, ps in rows
+        ]
+        embeds = jnp.concatenate([e for e, _ in built], axis=0)  # stays on device
+        mask = np.concatenate([m for _, m in built], axis=0)
         gen_cfg = gen.GenerateConfig(
             max_new_tokens=max_new_tokens,
             eos_token_ids=(self.tok.convert_tokens_to_ids(conv_sep),),
@@ -509,8 +517,8 @@ class CalliReaderEngine:
         )
         t0 = time.time()
         tokens, lengths = gen.generate_from_embeds(
-            self.params["llm"], self.cfg.llm, jnp.asarray(embeds), jnp.asarray(mask),
-            gen_cfg=gen_cfg, max_cache_len=embeds.shape[1] + max_new_tokens,
+            self.params["llm"], self.cfg.llm, embeds, jnp.asarray(mask),
+            gen_cfg=gen_cfg, max_cache_len=bucket + max_new_tokens,
             policy=self.policy, use_flash=self.use_flash,
         )
         tokens, lengths = np.asarray(tokens), np.asarray(lengths)
@@ -600,18 +608,12 @@ class CalliReaderEngine:
             query = self._expand_image_tokens(conv.get_prompt(), [pixel_values.shape[0]])
             ids = self._tokenize_prompt(query)
             img_embeds = self.encode_image_tiles(pixel_values)
-            embeds = self._build_embeds(
-                self.params, jnp.asarray(ids[None]),
-                img_embeds.reshape(-1, img_embeds.shape[-1]), None,
-            )
-            rows.append(np.asarray(embeds[0]))
+            rows.append((ids, img_embeds))
 
-        from callireader_tpu.models.internlm2 import embed_tokens
-
-        pad_vec = np.asarray(
-            embed_tokens(self.params["llm"], jnp.asarray([self.tok.pad_token_id]))
-        )[0].astype(rows[0].dtype)
-        embeds, mask = gen.pad_embeds_left(rows, pad_vec)
+        bucket = gen.bucket_length(max(len(r[0]) for r in rows))
+        built = [self._build_row_embeds(ids, img, None, bucket) for ids, img in rows]
+        embeds = jnp.concatenate([e for e, _ in built], axis=0)  # stays on device
+        mask = np.concatenate([m for _, m in built], axis=0)
         gen_cfg = gen.GenerateConfig(
             max_new_tokens=max_new_tokens,
             eos_token_ids=(self.tok.convert_tokens_to_ids(conv_sep),),
@@ -619,8 +621,8 @@ class CalliReaderEngine:
             repetition_penalty=repetition_penalty,
         )
         tokens, lengths = gen.generate_from_embeds(
-            self.params["llm"], self.cfg.llm, jnp.asarray(embeds), jnp.asarray(mask),
-            gen_cfg=gen_cfg, max_cache_len=embeds.shape[1] + max_new_tokens,
+            self.params["llm"], self.cfg.llm, embeds, jnp.asarray(mask),
+            gen_cfg=gen_cfg, max_cache_len=bucket + max_new_tokens,
             policy=self.policy, use_flash=self.use_flash,
         )
         tokens, lengths = np.asarray(tokens), np.asarray(lengths)
