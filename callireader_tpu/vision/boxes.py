@@ -149,6 +149,53 @@ def mask_area(image_array: np.ndarray, coords: Sequence[Sequence[int]], color) -
     return image_array
 
 
+def half_divide(image: np.ndarray, data: Dict) -> List:
+    """Split a page vertically, masking characters the cut crosses
+    (utils.py:96-129). ``data`` is labelme-style with absolute 'points'.
+    Returns [left_img, left_data, right_img, right_data]."""
+    h, w = image.shape[:2]
+    split = w // 2
+    color = most_frequent_rgb_fast(image)
+    modified = image.copy()
+    left = {"shapes": [], "imageHeight": data["imageHeight"], "imageWidth": data["imageWidth"] // 2}
+    right = {"shapes": [], "imageHeight": data["imageHeight"], "imageWidth": data["imageWidth"] // 2}
+    to_mask = []
+    for item in data["shapes"]:
+        pts = item["points"]
+        if len(pts) != 2 or len(pts[0]) != 2 or len(pts[1]) != 2:
+            continue
+        (x1, y1), (x2, y2) = pts
+        if x2 < split:
+            left["shapes"].append({"points": [[x1, y1], [x2, y2]]})
+        elif x1 > split:
+            right["shapes"].append({"points": [[x1 - split, y1], [x2 - split, y2]]})
+        else:
+            to_mask.append([x1, y1, x2, y2])
+    for x1, y1, x2, y2 in to_mask:
+        modified[int(y1):int(y2), int(x1):int(x2)] = color
+    return [modified[:, :split], left, modified[:, split:], right]
+
+
+def refine(image: np.ndarray, data: Dict, max_chars: int = 300) -> List[Tuple[np.ndarray, Dict]]:
+    """Recursively half-divide until every sub-page holds < max_chars
+    character boxes (utils.py:131-167). Returns [(sub_image, sub_data), ...]."""
+    if len(data["shapes"]) < max_chars:
+        return [(image, data)]
+    li, ld, ri, rd = half_divide(image, data)
+    subs = [(li, ld), (ri, rd)]
+    i = 0
+    while i < len(subs):
+        img, d = subs[i]
+        if len(d["shapes"]) >= max_chars:
+            subs.pop(i)
+            a, ad, b, bd = half_divide(img, d)
+            subs.append((a, ad))
+            subs.append((b, bd))
+            i -= 1
+        i += 1
+    return subs
+
+
 def _area_kmeans_1d(areas: np.ndarray, seed: int = 0) -> np.ndarray:
     """2-cluster k-means on areas; sklearn-compatible but dependency-free
     deterministic variant (k-means++ with fixed seed)."""

@@ -95,3 +95,33 @@ def test_levenshtein_fallback_matches():
     except Exception:
         expected = 2
     assert metrics.levenshtein(a, b) == expected
+
+
+def test_half_divide_splits_and_masks():
+    img = np.full((100, 200, 3), 240, np.uint8)
+    img[40:60, 95:105] = 10  # char crossing the split
+    data = {
+        "imageHeight": 100,
+        "imageWidth": 200,
+        "shapes": [
+            {"points": [[10, 10], [30, 30]]},     # left
+            {"points": [[150, 10], [170, 30]]},   # right
+            {"points": [[95, 40], [105, 60]]},    # crosses split -> masked
+        ],
+    }
+    li, ld, ri, rd = boxes.half_divide(img, data)
+    assert li.shape[1] == 100 and ri.shape[1] == 100
+    assert len(ld["shapes"]) == 1 and len(rd["shapes"]) == 1
+    assert rd["shapes"][0]["points"][0][0] == 50  # shifted by split
+    # crossing char masked with background color
+    assert (li[45, 96] > 200).all()
+
+
+def test_refine_caps_chars():
+    img = np.full((100, 400, 3), 240, np.uint8)
+    shapes = [{"points": [[x, 10], [x + 2, 20]]} for x in range(5, 395, 1)]
+    data = {"imageHeight": 100, "imageWidth": 400, "shapes": shapes}
+    subs = boxes.refine(img, data, max_chars=100)
+    assert len(subs) >= 4
+    for _, d in subs:
+        assert len(d["shapes"]) < 100
