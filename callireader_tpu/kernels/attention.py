@@ -58,12 +58,9 @@ def attention_reference(
     if scale is None:
         scale = D**-0.5
 
-    # bf16 operands + fp32 MXU accumulation: casting the (potentially huge) KV
-    # buffer to fp32 would materialize it in HBM — decode reads the whole
-    # cache every step, so that cast dominates step time at large batch.
     qr = q.reshape(B, Hkv, groups, Sq, D)
     logits = jnp.einsum(
-        "bhgqd,bhkd->bhgqk", qr, k, preferred_element_type=jnp.float32
+        "bhgqd,bhkd->bhgqk", qr.astype(jnp.float32), k.astype(jnp.float32)
     )
     logits *= scale
 
@@ -83,10 +80,7 @@ def attention_reference(
         logits = jnp.where(mask, logits, NEG_INF)
 
     probs = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum(
-        "bhgqk,bhkd->bhgqd", probs.astype(v.dtype), v,
-        preferred_element_type=jnp.float32,
-    )
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", probs, v.astype(jnp.float32))
     return out.reshape(B, Hq, Sq, D).astype(q.dtype)
 
 

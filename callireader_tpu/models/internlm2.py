@@ -378,6 +378,7 @@ def decode_step_multislot(
     active: jax.Array,  # (B,) bool — inactive slots produce garbage, ignored
     starts: Optional[jax.Array] = None,  # (B,) first attendable cache position
     policy: DTypePolicy = DEFAULT_POLICY,
+    use_flash: Optional[bool] = None,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Continuous-batching decode: every slot advances one token at its own
     position. Returns (logits (B, V), cache_k, cache_v). The caller updates
@@ -388,11 +389,14 @@ def decode_step_multislot(
     positions = (lengths if starts is None else lengths - starts)[:, None]  # (B, 1)
     cos, sin = cos_sin_for(cfg, positions, max_len)
 
+    if use_flash is None:
+        use_flash = jax.devices()[0].platform == "tpu"
     slot_pos = jnp.arange(max_len)[None, :]
     valid = slot_pos <= lengths[:, None]
     if starts is not None:
         # left-padded prompts: positions before `starts` hold masked pad k/v
         valid = jnp.logical_and(valid, slot_pos >= starts[:, None])
+    kv_valid = valid.astype(jnp.int32)
     kv_seg = jnp.where(valid, 0, -9).astype(jnp.int32)
     q_seg = jnp.zeros((B, S), jnp.int32)
     batch_idx = jnp.arange(B)
@@ -406,12 +410,17 @@ def decode_step_multislot(
         # scatter new token k/v at (idx, b, :, lengths[b], :) for every slot
         ck = ck.at[idx, batch_idx, :, lengths, :].set(k[:, :, 0, :].astype(ck.dtype))
         cv = cv.at[idx, batch_idx, :, lengths, :].set(v[:, :, 0, :].astype(cv.dtype))
-        layer_k = jax.lax.dynamic_index_in_dim(ck, idx, 0, keepdims=False)
-        layer_v = jax.lax.dynamic_index_in_dim(cv, idx, 0, keepdims=False)
-        ctx = attention_reference(
-            q, layer_k.astype(q.dtype), layer_v.astype(q.dtype),
-            causal=False, q_segment_ids=q_seg, kv_segment_ids=kv_seg,
-        )
+        if use_flash:
+            from callireader_tpu.kernels.decode_attention import flash_decode
+
+            ctx = flash_decode(q, ck, cv, idx, kv_valid)
+        else:
+            layer_k = jax.lax.dynamic_index_in_dim(ck, idx, 0, keepdims=False)
+            layer_v = jax.lax.dynamic_index_in_dim(cv, idx, 0, keepdims=False)
+            ctx = attention_reference(
+                q, layer_k.astype(q.dtype), layer_v.astype(q.dtype),
+                causal=False, q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+            )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, -1)
         x = x + _proj(p, ctx, "wo")
         x = _mlp(p, x, cfg, policy)
@@ -436,8 +445,11 @@ def decode_step(
     kv_valid_mask: Optional[jax.Array] = None,  # (B, max_len) 1=attendable
     positions: Optional[jax.Array] = None,  # (B, 1)
     policy: DTypePolicy = DEFAULT_POLICY,
+    use_flash: Optional[bool] = None,
 ) -> Tuple[jax.Array, KVCache]:
     """One autoregressive step. Returns (logits (B, V), updated cache)."""
+    if use_flash is None:
+        use_flash = jax.devices()[0].platform == "tpu"
     x = _embed(params, input_ids, inputs_embeds, policy)
     B, S, _ = x.shape
     max_len = cache.max_len
@@ -471,13 +483,18 @@ def decode_step(
         cv = jax.lax.dynamic_update_slice(
             cv, v[None].astype(cv.dtype), (idx, 0, 0, cache.length, 0)
         )
-        layer_k = jax.lax.dynamic_index_in_dim(ck, idx, 0, keepdims=False)
-        layer_v = jax.lax.dynamic_index_in_dim(cv, idx, 0, keepdims=False)
-        ctx = attention_reference(
-            q, layer_k.astype(q.dtype), layer_v.astype(q.dtype),
-            causal=False,  # masking fully handled by kv_seg validity
-            q_segment_ids=q_seg, kv_segment_ids=kv_seg,
-        )
+        if use_flash:
+            from callireader_tpu.kernels.decode_attention import flash_decode
+
+            ctx = flash_decode(q, ck, cv, idx, kv_valid_mask)
+        else:
+            layer_k = jax.lax.dynamic_index_in_dim(ck, idx, 0, keepdims=False)
+            layer_v = jax.lax.dynamic_index_in_dim(cv, idx, 0, keepdims=False)
+            ctx = attention_reference(
+                q, layer_k.astype(q.dtype), layer_v.astype(q.dtype),
+                causal=False,  # masking fully handled by kv_seg validity
+                q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+            )
         ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, -1)
         x = x + _proj(p, ctx, "wo")
         x = _mlp(p, x, cfg, policy)

@@ -136,6 +136,7 @@ def generate_from_embeds(
             cache=cache,
             kv_valid_mask=kv_valid,
             policy=policy,
+            use_flash=use_flash,
         )
         return cache, logits, seen, tokens, new_done, lengths, kv_valid, i + 1, key
 

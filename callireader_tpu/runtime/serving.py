@@ -75,6 +75,7 @@ class ContinuousBatcher:
             lambda p, ids, ck, cv, lengths, active, starts: internlm2.decode_step_multislot(
                 p, cfg, input_ids=ids, cache_k=ck, cache_v=cv,
                 lengths=lengths, active=active, starts=starts, policy=policy,
+                use_flash=use_flash,
             )
         )
         self._insert = jax.jit(self._insert_impl, donate_argnums=(1, 2))
