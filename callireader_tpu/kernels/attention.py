@@ -105,6 +105,8 @@ def _flash_kernel(
     block_q: int,
     block_k: int,
     num_k_blocks: int,
+    use_segments: bool,
+    kv_valid: int,
 ):
     kb = pl.program_id(3)
     qb = pl.program_id(2)
@@ -120,10 +122,25 @@ def _flash_kernel(
     if causal:
         run = qb * block_q + block_q - 1 >= kb * block_k
 
+    def _softmax_update(s):
+        m_prev = m_scratch[:, :1]  # (bq, 1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # (bq, bk)
+        alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
+        l_new = alpha * l_scratch[:, :1] + jnp.sum(p, axis=-1, keepdims=True)
+        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, D)
+        acc_scratch[...] = acc_scratch[...] * alpha + pv
+
     @pl.when(run)
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)  # (bq, D)
-        k = k_ref[0, 0].astype(jnp.float32)  # (bk, D)
+        q = q_ref[0, 0]  # (bq, D)
+        k = k_ref[0, 0]  # (bk, D)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
         )  # (bq, bk)
@@ -134,32 +151,30 @@ def _flash_kernel(
             q_pos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
             k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             mask = q_pos >= k_pos
-        if qseg_ref is not None:
+        if use_segments:
             qs = qseg_ref[0, 0]  # (bq,)
             ks = kseg_ref[0, 0]  # (bk,)
             seg = qs[:, None] == ks[None, :]
             mask = seg if mask is None else jnp.logical_and(mask, seg)
-        if mask is not None:
             s = jnp.where(mask, s, NEG_INF)
+            _softmax_update(s)
+        else:
+            # no packing: only the tail block can touch the seq padding —
+            # every other block skips all mask/VPU work
+            boundary_block = (kv_valid - 1) // block_k
+            if mask is not None:
+                s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_scratch[:, :1]  # (bq, 1)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
-        m_new = jnp.maximum(m_prev, m_cur)
+            @pl.when(kb == boundary_block)
+            def _masked():
+                k_pos = kb * block_k + jax.lax.broadcasted_iota(
+                    jnp.int32, (block_q, block_k), 1
+                )
+                _softmax_update(jnp.where(k_pos < kv_valid, s, NEG_INF))
 
-        p = jnp.exp(s - m_new)  # (bq, bk)
-        alpha = jnp.exp(m_prev - m_new)  # (bq, 1)
-
-        l_prev = l_scratch[:, :1]
-        l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-
-        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
-
-        pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (bq, D)
-        acc_scratch[...] = acc_scratch[...] * alpha + pv
+            @pl.when(kb != boundary_block)
+            def _plain():
+                _softmax_update(s)
 
     @pl.when(kb == num_k_blocks - 1)
     def _finalize():
@@ -207,9 +222,18 @@ def flash_attention(
     if scale is None:
         scale = D**-0.5
 
-    block_q = min(block_q, max(Sq, 16))
-    block_k = min(block_k, max(Sk, 16))
+    def best_block(limit: int, size: int) -> int:
+        # minimize padding across 128-multiples, prefer fatter blocks on ties
+        # (measured on the fused ViT encode: 384 blocks at seq 1025 beat 512)
+        cands = [c for c in (512, 384, 256, 128) if c <= limit]
+        if not cands or size <= cands[-1]:
+            return min(limit, max(size, 16))
+        return min(cands, key=lambda c: (-(-size // c) * c, -c))
 
+    block_q = best_block(block_q, Sq)
+    block_k = best_block(block_k, Sk)
+
+    use_segments = q_segment_ids is not None
     if q_segment_ids is None:
         q_segment_ids = jnp.zeros((B, Sq), jnp.int32)
         kv_segment_ids = jnp.zeros((B, Sk), jnp.int32)
@@ -236,6 +260,8 @@ def flash_attention(
             block_q=block_q,
             block_k=block_k,
             num_k_blocks=nk,
+            use_segments=use_segments,
+            kv_valid=Sk,
         ),
         grid=grid,
         in_specs=[
