@@ -20,6 +20,9 @@ def build_engine(
     tokenizer_path: str = DEFAULT_MODEL,
     random_init_ok: bool = False,
     quant: Optional[str] = None,
+    adapter_path: Optional[str] = None,
+    lora_rank: int = 128,
+    lora_alpha: float = 256.0,
 ) -> CalliReaderEngine:
     import jax
     import jax.numpy as jnp
@@ -59,6 +62,23 @@ def build_engine(
             f"checkpoint_dir {checkpoint_dir!r} not found; pass --random-init to run "
             "with random weights"
         )
+
+    if adapter_path:
+        # serve a fine-tuned e-IT checkpoint directly: attach LoRA leaves,
+        # restore the trainable subtree (LoRA + mlp1) from orbax, merge
+        from callireader_tpu.train import checkpoint as ckpt_mod
+        from callireader_tpu.train import e_it, lora
+
+        print(f"[engine] loading adapter from {adapter_path}", file=sys.stderr)
+        params["llm"] = lora.add_lora(
+            params["llm"], cfg.llm, jax.random.PRNGKey(0),
+            rank=lora_rank, alpha=lora_alpha, dtype=jnp.float32,
+        )
+        tc = e_it.TrainConfig(lora_rank=lora_rank, lora_alpha=lora_alpha)
+        state, frozen, _ = e_it.create_train_state(params, tc)
+        state = ckpt_mod.restore_train_state(adapter_path, state)
+        params = e_it.merge_params(state.trainable, frozen)
+        params["llm"] = lora.merge_lora(params["llm"])
 
     if quant == "int8":
         from callireader_tpu.runtime.quantize import param_bytes, quantize_llm_int8

@@ -42,6 +42,8 @@ def main(argv=None):
     parser.add_argument("--checkpoint", type=str, default=os.environ.get("CALLIREADER_CKPT"))
     parser.add_argument("--random-init", action="store_true")
     parser.add_argument("--quant", type=str, default=None, choices=[None, "int8"])
+    parser.add_argument("--adapter", type=str, default=None,
+                        help="orbax e-IT checkpoint dir (LoRA+mlp1) to merge before serving")
     args = parser.parse_args(argv)
 
     save_dir = f"outputs/{args.save_name}"
@@ -51,7 +53,7 @@ def main(argv=None):
 
     engine = build_engine(
         preset=args.preset, checkpoint_dir=args.checkpoint, random_init_ok=args.random_init,
-        quant=args.quant,
+        quant=args.quant, adapter_path=args.adapter,
     )
     kw = dict(
         use_p=args.use_p, hard_vq=args.hard_vq, drop_zero=args.drop_zero,

@@ -69,3 +69,39 @@ def test_train_state_save_restore(tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         restored.trainable, state.trainable,
     )
+
+
+def test_adapter_serving_roundtrip(tmp_path):
+    """Train-checkpoint -> build_engine(adapter_path=...) merges LoRA+mlp1."""
+    import numpy as np
+
+    from callireader_tpu.cli.common import build_engine
+
+    cfg = callireader_tiny()
+    params = init_all_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    export = str(tmp_path / "base")
+    ckpt.export_reference_format(params, cfg, export)
+
+    # make a trained state with nonzero adapters
+    params2 = init_all_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params2["llm"] = lora.add_lora(
+        params2["llm"], cfg.llm, jax.random.PRNGKey(1), rank=2, alpha=4, dtype=jnp.float32
+    )
+    params2["llm"]["layers"]["wq_lora_b"] = (
+        jax.random.normal(jax.random.PRNGKey(2), params2["llm"]["layers"]["wq_lora_b"].shape) * 0.1
+    ).astype(jnp.float32)
+    tc = e_it.TrainConfig(lora_rank=2, lora_alpha=4)
+    state, frozen, _ = e_it.create_train_state(params2, tc)
+    ckpt.save_train_state(str(tmp_path / "adapter"), state)
+
+    engine = build_engine(
+        preset="callireader-tiny", checkpoint_dir=export,
+        adapter_path=str(tmp_path / "adapter"), lora_rank=2, lora_alpha=4,
+    )
+    # adapters merged: wq differs from the base export
+    base_wq = np.asarray(params["llm"]["layers"]["wq"][0], np.float32)
+    merged_wq = np.asarray(engine.params["llm"]["layers"]["wq"][0], np.float32)
+    assert not np.allclose(base_wq, merged_wq, atol=1e-4)
+    assert not any("_lora_" in k for k in engine.params["llm"]["layers"])
+    resp = engine.chat(None, "你好", max_new_tokens=2)
+    assert isinstance(resp, str)
