@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 BATCH = 8
-N_BATCHES = 2
+N_BATCHES = 3
 N_CHARS = 96
 N_TILES = 8
 DECODE_TOKENS = 256
@@ -85,33 +85,40 @@ def main():
         stage["splice"] = stage.get("splice", 0.0) + time.time() - t0
         return e, m
 
-    def run_batch(seed: int) -> None:
+    gcfg = gen.GenerateConfig(
+        max_new_tokens=DECODE_TOKENS,
+        eos_token_ids=(-1,),  # random weights: fixed decode budget
+        repetition_penalty=1.0,
+    )
+
+    def dispatch_batch(seed: int):
+        """Vision + splice + async generate dispatch (no host sync)."""
         built = [build_row(seed * BATCH + i) for i in range(BATCH)]
         embeds = jnp.concatenate([e for e, _ in built], axis=0)  # device-side
         mask = np.concatenate([m for _, m in built], axis=0)
-        gcfg = gen.GenerateConfig(
-            max_new_tokens=DECODE_TOKENS,
-            eos_token_ids=(-1,),  # random weights: fixed decode budget
-            repetition_penalty=1.0,
-        )
-        t0 = time.time()
-        tokens, lengths = gen.generate_from_embeds(
+        return gen.generate_from_embeds(
             engine.params["llm"], cfg.llm, embeds, jnp.asarray(mask),
             gen_cfg=gcfg, max_cache_len=embeds.shape[1] + DECODE_TOKENS,
             use_flash=on_tpu,
         )
-        n = np.asarray(lengths)
-        assert (n == DECODE_TOKENS).all()
-        stage["batched_decode"] = stage.get("batched_decode", 0.0) + time.time() - t0
 
     t0 = time.time()
-    run_batch(0)  # warmup (compiles)
+    toks, lengths = dispatch_batch(0)  # warmup (compiles)
+    assert (np.asarray(lengths) == DECODE_TOKENS).all()
     print(f"[bench] warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
+    # pipelined steady state: batch b+1's vision encode + host->device
+    # transfers overlap batch b's in-flight decode (all dispatch is async; the
+    # only sync point is each batch's token readback, taken one batch late)
     stage.clear()
     t0 = time.time()
+    pending = None
     for b in range(1, 1 + N_BATCHES):
-        run_batch(b)
+        out = dispatch_batch(b)
+        if pending is not None:
+            assert (np.asarray(pending[1]) == DECODE_TOKENS).all()
+        pending = out
+    assert (np.asarray(pending[1]) == DECODE_TOKENS).all()
     dt = time.time() - t0
     n_imgs = BATCH * N_BATCHES
     ips = n_imgs / dt

@@ -102,6 +102,13 @@ def main(argv=None):
             **kw,
         )
 
+    if args.verbose and engine.timings.spans:
+        import sys
+
+        print("[timings] per-stage totals (s):", file=sys.stderr)
+        for name, t in sorted(engine.timings.spans.items()):
+            print(f"  {name:24s} {t:8.2f}", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()
