@@ -48,6 +48,9 @@ def main(argv=None):
     parser.add_argument("--mesh", type=str, default=None,
                         help='e.g. "data=4,fsdp=2,tensor=1"')
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--check-data", action="store_true",
+                        help="print a decoded dataset sample and exit "
+                             "(DatasetInfoHook / check-custom-dataset equivalent)")
     args = parser.parse_args(argv)
 
     import jax
@@ -80,6 +83,18 @@ def main(argv=None):
     print(f"[train] mesh: {dict(mesh.shape)}", file=sys.stderr)
 
     dataset = data_mod.EITDataset(args.data, cfg, tok, image_root=args.image_root)
+    if args.check_data:
+        sample = dataset[0]
+        ids = sample["input_ids"]
+        print(f"[check-data] {len(dataset)} samples; sample 0: {len(ids)} tokens", file=sys.stderr)
+        print(f"[check-data] decoded: {tok.decode(ids.tolist(), skip_special_tokens=False)[:800]!r}", file=sys.stderr)
+        sup = sample["labels"][sample["labels"] != -100]
+        print(f"[check-data] supervised tokens: {len(sup)} -> {tok.decode(sup.tolist())[:200]!r}", file=sys.stderr)
+        if "pixel_values" in sample:
+            print(f"[check-data] pixel tiles: {sample['pixel_values'].shape}", file=sys.stderr)
+        if "pseudo_embeds" in sample:
+            print(f"[check-data] pseudo embeds: {sample['pseudo_embeds'].shape}", file=sys.stderr)
+        return
     steps_per_epoch = max(1, len(dataset) // (args.batch_size * args.grad_accum))
     total_steps = args.max_iters or int(steps_per_epoch * args.epochs)
 

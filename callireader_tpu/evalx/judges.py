@@ -27,6 +27,8 @@ import numpy as np
 
 def default_embedder(model_name: str = "all-MiniLM-L6-v2") -> Callable[[List[str]], np.ndarray]:
     try:
+        # zero-egress images: fail fast to the fallback instead of HTTP retries
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
         from sentence_transformers import SentenceTransformer  # type: ignore
 
         model = SentenceTransformer(model_name)
