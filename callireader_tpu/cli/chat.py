@@ -15,7 +15,7 @@ import sys
 
 
 def stream_generate(engine, question, history, *, image=None, max_new_tokens=512,
-                    repetition_penalty=1.0):
+                    repetition_penalty=1.0, stop_words=()):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -87,6 +87,12 @@ def stream_generate(engine, question, history, *, image=None, max_new_tokens=512
         seen[tok_id] = True
         pieces.append(tok_id)
         text = engine.tok.decode(pieces, skip_special_tokens=True)
+        # StopWordStoppingCriteria equivalent (xtuner utils/stop_criteria.py:5)
+        if any(text.endswith(w) for w in stop_words):
+            text = next(text[: -len(w)] for w in stop_words if text.endswith(w))
+            sys.stdout.write(text[len(printed):])
+            printed = text
+            break
         sys.stdout.write(text[len(printed):])
         sys.stdout.flush()
         printed = text
@@ -112,6 +118,7 @@ def main(argv=None):
     parser.add_argument("--max-new-tokens", type=int, default=512)
     parser.add_argument("--repetition-penalty", type=float, default=1.0)
     parser.add_argument("--system", type=str, default=None)
+    parser.add_argument("--stop-words", type=str, nargs="*", default=[])
     args = parser.parse_args(argv)
 
     from callireader_tpu.cli.common import build_engine
@@ -141,6 +148,7 @@ def main(argv=None):
             engine, text, history, image=image if history is None else None,
             max_new_tokens=args.max_new_tokens,
             repetition_penalty=args.repetition_penalty,
+            stop_words=tuple(args.stop_words),
         )
 
 

@@ -149,6 +149,31 @@ def mask_area(image_array: np.ndarray, coords: Sequence[Sequence[int]], color) -
     return image_array
 
 
+def draw_boxes(
+    image: np.ndarray,
+    box_list: Sequence,
+    save_path: Optional[str] = None,
+    *,
+    numbered: bool = False,
+) -> np.ndarray:
+    """Overlay boxes (pair or flat format) for debugging
+    (utils.py:219-227 drawBoxes, models/model.py:476-486)."""
+    import cv2
+
+    frame = np.ascontiguousarray(image.copy())
+    for i, box in enumerate(box_list):
+        flat = pair_to_flat(box) if isinstance(box[0], (list, tuple, np.ndarray)) else box
+        x1, y1, x2, y2 = (int(v) for v in flat)
+        cv2.rectangle(frame, (x1, y1), (x2, y2), color=(255, 0, 0), thickness=2,
+                      lineType=cv2.LINE_AA)
+        if numbered:
+            cv2.putText(frame, str(i + 1), ((x1 + x2) // 2, (y1 + y2) // 2),
+                        cv2.FONT_HERSHEY_SIMPLEX, 1, (0, 0, 255), 1, cv2.LINE_AA)
+    if save_path:
+        cv2.imwrite(save_path, frame[:, :, ::-1])  # RGB -> BGR for imwrite
+    return frame
+
+
 def half_divide(image: np.ndarray, data: Dict) -> List:
     """Split a page vertically, masking characters the cut crosses
     (utils.py:96-129). ``data`` is labelme-style with absolute 'points'.

@@ -125,3 +125,12 @@ def test_refine_caps_chars():
     assert len(subs) >= 4
     for _, d in subs:
         assert len(d["shapes"]) < 100
+
+
+def test_draw_boxes(tmp_path):
+    img = np.full((50, 50, 3), 255, np.uint8)
+    out = boxes.draw_boxes(img, [[5, 5, 20, 20], [[25, 25], [40, 40]]],
+                           str(tmp_path / "o.png"), numbered=True)
+    assert out.shape == img.shape
+    assert (out != 255).any()
+    assert (tmp_path / "o.png").exists()
