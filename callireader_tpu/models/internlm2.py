@@ -289,10 +289,12 @@ def forward(
         if attn_override is not None:
             ctx = attn_override(q, k, v)
         elif use_flash:
-            ctx = flash_attention(
-                q, k, v, causal=True,
-                q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
-                interpret=interpret,
+            # differentiable variant (custom VJP, kernels/attention_bwd.py) —
+            # training at 8k context cannot materialize S^2 attention
+            from callireader_tpu.kernels.attention_bwd import flash_attention_trainable
+
+            ctx = flash_attention_trainable(
+                q, k, v, segment_ids, segment_ids, True, None, 512, 512, interpret
             )
         else:
             ctx = attention_reference(
