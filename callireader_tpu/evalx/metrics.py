@@ -102,6 +102,27 @@ def ned(pred: Sequence, gt: Sequence) -> float:
     return levenshtein(list(pred), list(gt)) / max_len
 
 
+def mmlu_accuracy(predictions: List[str], answers: List[str]) -> float:
+    """First-A-D-letter accuracy (xtuner evaluation/metrics/mmlu_metric.py)."""
+    assert len(predictions) == len(answers)
+    if not predictions:
+        return 0.0
+    correct = 0
+    for pred, ans in zip(predictions, answers):
+        first = next((c for c in pred if c in "ABCD"), None)
+        correct += int(first == ans)
+    return correct / len(predictions) * 100
+
+
+def reward_accuracy(chosen_rewards: Sequence[float], rejected_rewards: Sequence[float]) -> float:
+    """Pairwise ranking accuracy (xtuner evaluation/metrics/reward_metric.py)."""
+    assert len(chosen_rewards) == len(rejected_rewards)
+    if not chosen_rewards:
+        return 0.0
+    wins = sum(c > r for c, r in zip(chosen_rewards, rejected_rewards))
+    return wins / len(chosen_rewards) * 100
+
+
 def evaluate_choice_accuracy(
     responses: List[str], correct_answers: List[Tuple[str, str, str, str]]
 ) -> float:

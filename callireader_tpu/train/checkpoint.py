@@ -185,6 +185,7 @@ def export_reference_format(
     out_dir: str,
     *,
     merge_lora_first: bool = True,
+    max_shard_bytes: Optional[int] = None,
 ) -> str:
     """Write model.safetensors with the reference's key layout (the
     'convert_to_official' deployable export)."""
@@ -204,13 +205,36 @@ def export_reference_format(
         sd["normed_emb.weight"] = np.asarray(params["align"]["normed_emb"], np.float32)
 
     os.makedirs(out_dir, exist_ok=True)
-    path = os.path.join(out_dir, "model.safetensors")
     # safetensors serializes raw buffers: transposed views must be materialized
     sd = {k: np.ascontiguousarray(v) for k, v in sd.items()}
-    save_file(sd, path)
+
+    # shard by size (tools/model_converters/split.py parity); single file when
+    # everything fits
+    shards: list[Dict[str, np.ndarray]] = [{}]
+    size = 0
+    for k, v in sd.items():
+        if max_shard_bytes and size + v.nbytes > max_shard_bytes and shards[-1]:
+            shards.append({})
+            size = 0
+        shards[-1][k] = v
+        size += v.nbytes
+
+    weight_map = {}
+    if len(shards) == 1:
+        path = os.path.join(out_dir, "model.safetensors")
+        save_file(shards[0], path)
+        weight_map = {k: "model.safetensors" for k in sd}
+    else:
+        n = len(shards)
+        for i, shard in enumerate(shards):
+            name = f"model-{i + 1:05d}-of-{n:05d}.safetensors"
+            save_file(shard, os.path.join(out_dir, name))
+            weight_map.update({k: name for k in shard})
+        path = os.path.join(out_dir, f"model-00001-of-{n:05d}.safetensors")
+
     index = {
         "metadata": {"total_size": int(sum(v.nbytes for v in sd.values()))},
-        "weight_map": {k: "model.safetensors" for k in sd},
+        "weight_map": weight_map,
     }
     with open(os.path.join(out_dir, "model.safetensors.index.json"), "w") as f:
         json.dump(index, f, indent=2)
