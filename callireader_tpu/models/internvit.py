@@ -163,15 +163,20 @@ def forward(
         x = carry
         h = layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps, policy)
         qkv = h @ p["qkv_kernel"].astype(h.dtype) + p["qkv_bias"].astype(h.dtype)
-        qkv = qkv.reshape(B, S, 3, Hn, Dh)
-        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
-        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
         if use_flash:
-            ctx = flash_attention(q, k, v, causal=False, interpret=interpret)
+            # packed-QKV kernel: consumes (B, S, 3E) directly, zero transposes
+            from callireader_tpu.kernels.packed_qkv_attention import (
+                flash_attention_packed_qkv,
+            )
+
+            ctx = flash_attention_packed_qkv(qkv, Hn, interpret=interpret)
         else:
+            qkv = qkv.reshape(B, S, 3, Hn, Dh)
+            q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+            k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+            v = qkv[:, :, 2].transpose(0, 2, 1, 3)
             ctx = attention_reference(q, k, v, causal=False)
-        ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, Hn * Dh)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, Hn * Dh)
         ctx = ctx @ p["proj_kernel"].astype(ctx.dtype) + p["proj_bias"].astype(ctx.dtype)
         x = x + ctx * p["ls1"].astype(ctx.dtype)
 

@@ -60,3 +60,17 @@ def test_decode_offset_reference():
     v2 = v.at[:, :, 8:].set(999.0)
     out2 = attention_reference(q, k2, v2, causal=True, q_offset=7)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_packed_qkv_matches_reference():
+    from callireader_tpu.kernels.packed_qkv_attention import flash_attention_packed_qkv
+
+    B, S, H, D = 2, 100, 4, 32
+    E = H * D
+    qkv = jax.random.normal(jax.random.PRNGKey(7), (B, S, 3 * E), jnp.float32)
+    out = flash_attention_packed_qkv(qkv, H, block_q=64, block_k=64, interpret=True)
+    q = qkv[:, :, :E].reshape(B, S, H, D).transpose(0, 2, 1, 3)
+    k = qkv[:, :, E : 2 * E].reshape(B, S, H, D).transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2 * E :].reshape(B, S, H, D).transpose(0, 2, 1, 3)
+    ref = attention_reference(q, k, v, causal=False).transpose(0, 2, 1, 3).reshape(B, S, E)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
