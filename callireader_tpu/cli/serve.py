@@ -1,0 +1,111 @@
+"""Batch serving CLI: JSONL requests -> JSONL responses via continuous batching.
+
+  python -m callireader_tpu.cli.serve --input requests.jsonl --output out.jsonl \
+      --slots 8 --checkpoint ...
+
+Request lines: {"id": ..., "question": "...", "image": "path.jpg"?,
+                "use_p": true?, "max_new_tokens": 1024?}
+The vision/CalliAlign front half runs per request (bucketed jitted programs);
+decode rides the slot scheduler (runtime/serving.py) so every step advances all
+in-flight requests — short answers retire early and free their slot.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="JSONL batch server")
+    parser.add_argument("--input", type=str, required=True)
+    parser.add_argument("--output", type=str, required=True)
+    parser.add_argument("--slots", type=int, default=8)
+    parser.add_argument("--max-len", type=int, default=4096)
+    parser.add_argument("--preset", type=str, default="callireader-8b")
+    parser.add_argument("--checkpoint", type=str, default=os.environ.get("CALLIREADER_CKPT"))
+    parser.add_argument("--random-init", action="store_true")
+    parser.add_argument("--quant", type=str, default=None, choices=[None, "int8"])
+    parser.add_argument("--repetition-penalty", type=float, default=1.0)
+    args = parser.parse_args(argv)
+
+    import numpy as np
+
+    from callireader_tpu.cli.common import build_engine
+    from callireader_tpu.runtime import generate as gen
+    from callireader_tpu.runtime.conversation import build_chat_prompt, get_conv_template
+    from callireader_tpu.runtime.engine import ALIGNED
+    from callireader_tpu.runtime.serving import ContinuousBatcher, Request
+    from callireader_tpu.vision import preprocess
+
+    engine = build_engine(
+        preset=args.preset, checkpoint_dir=args.checkpoint,
+        random_init_ok=args.random_init, quant=args.quant,
+    )
+    cfg = engine.cfg
+    sep = get_conv_template(cfg.template).sep
+    eos = (engine.tok.convert_tokens_to_ids(sep),)
+
+    batcher = ContinuousBatcher(
+        engine.params["llm"], cfg.llm, num_slots=args.slots, max_len=args.max_len,
+        policy=engine.policy, use_flash=engine.use_flash,
+    )
+
+    requests = [json.loads(l) for l in open(args.input, encoding="utf-8") if l.strip()]
+    t0 = time.time()
+    for uid, rec in enumerate(requests):
+        question = rec["question"]
+        img_embeds = None
+        pseudo = None
+        n_tiles = 0
+        if rec.get("image"):
+            img_np = np.asarray(preprocess.open_image(rec["image"]))
+            pixel_values = preprocess.load_image(
+                img_np, cfg.force_image_size, cfg.max_dynamic_patch,
+                cfg.use_thumbnail, as_uint8=True,
+            )
+            n_tiles = pixel_values.shape[0]
+            img_embeds = engine.encode_image_tiles(pixel_values)
+            if rec.get("use_p", True):
+                pseudo, _ = engine.calli_align(img_np)
+            if "<image>" not in question:
+                question = "<image>\n" + question
+            if pseudo is not None and ALIGNED not in question:
+                question = question + ALIGNED * pseudo.shape[0]
+        conv = build_chat_prompt(question)
+        query = engine._expand_image_tokens(conv.get_prompt(), [n_tiles] if n_tiles else [])
+        ids = engine._tokenize_prompt(query)
+        bucket = gen.bucket_length(len(ids))
+        embeds, _mask = engine._build_row_embeds(ids, img_embeds, pseudo, bucket)
+        row = np.asarray(embeds[0][bucket - len(ids):])  # strip the pad rows
+        batcher.submit(
+            Request(
+                uid, row,
+                max_new_tokens=int(rec.get("max_new_tokens", 1024)),
+                eos_token_ids=eos,
+                repetition_penalty=float(rec.get("repetition_penalty", args.repetition_penalty)),
+            )
+        )
+
+    done = batcher.run()
+    by_uid = {r.uid: r for r in done}
+    with open(args.output, "w", encoding="utf-8") as f:
+        for uid, rec in enumerate(requests):
+            r = by_uid[uid]
+            text = engine.tok.decode(r.tokens, skip_special_tokens=True)
+            text = text.split(sep)[0].strip()
+            f.write(json.dumps({"id": rec.get("id", uid), "response": text}, ensure_ascii=False) + "\n")
+    dt = time.time() - t0
+    total_toks = sum(len(r.tokens) for r in done)
+    print(
+        f"[serve] {len(requests)} requests, {total_toks} tokens in {dt:.1f}s "
+        f"({total_toks / max(dt, 1e-9):.1f} tok/s aggregate)",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

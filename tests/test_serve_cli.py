@@ -1,0 +1,40 @@
+"""serve CLI end-to-end (tiny preset, text + image requests)."""
+
+import json
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.mark.slow
+def test_serve_jsonl(tmp_path):
+    img_path = str(tmp_path / "p.jpg")
+    Image.fromarray(
+        np.random.RandomState(0).randint(150, 255, (80, 60, 3), np.uint8)
+    ).save(img_path)
+    reqs = [
+        {"id": "a", "question": "你好", "max_new_tokens": 3},
+        {"id": "b", "question": "这幅书法作品内容是什么？", "image": img_path,
+         "use_p": False, "max_new_tokens": 3},
+        {"id": "c", "question": "作者是谁？", "max_new_tokens": 2},
+    ]
+    inp = tmp_path / "in.jsonl"
+    inp.write_text("\n".join(json.dumps(r, ensure_ascii=False) for r in reqs))
+    out = tmp_path / "out.jsonl"
+
+    from callireader_tpu.cli import serve
+
+    serve.main(
+        [
+            "--input", str(inp),
+            "--output", str(out),
+            "--slots", "2",
+            "--max-len", "512",
+            "--preset", "callireader-tiny",
+            "--random-init",
+        ]
+    )
+    lines = [json.loads(l) for l in open(out)]
+    assert [l["id"] for l in lines] == ["a", "b", "c"]
+    assert all(isinstance(l["response"], str) for l in lines)
