@@ -22,6 +22,26 @@ from callireader_tpu.core.config import VLMConfig
 from callireader_tpu.models import internlm2, internvit, projector, resampler
 
 
+def initialize_multihost(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (TPU pod slices): the single-controller analog of
+    the reference's torchrun rendezvous (entry_point.py:284-293). On Cloud TPU
+    the arguments are auto-detected from the metadata server; pass them
+    explicitly elsewhere. After this, jax.devices() spans the slice and every
+    Mesh/GSPMD program below works unchanged (collectives ride ICI within a
+    slice and DCN across slices)."""
+    import jax
+
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def make_mesh(shape: Optional[Mapping[str, int]] = None, devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
