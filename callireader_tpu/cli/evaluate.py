@@ -85,6 +85,7 @@ def main(argv=None):
                 os.path.join(args.data, f"choice/{split}/{split}.parquet"),
                 os.path.join(save_dir, f"{split}.json"),
                 limit=limit,
+                batch_size=args.batch_size,
                 **kw,
             )
     elif args.type == "bilingual":
@@ -92,6 +93,7 @@ def main(argv=None):
             engine,
             os.path.join(args.data, "reasoning/bilingual/medium/bilingual_medium.parquet"),
             os.path.join(save_dir, "bilingual.json"),
+            batch_size=args.batch_size,
             **kw,
         )
     elif args.type == "intent":
@@ -99,6 +101,7 @@ def main(argv=None):
             engine,
             os.path.join(args.data, "reasoning/intent/intent.parquet"),
             os.path.join(save_dir, "intent.json"),
+            batch_size=args.batch_size,
             **kw,
         )
 

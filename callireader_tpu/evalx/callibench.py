@@ -171,7 +171,33 @@ def _parse_choice_gt(annotations: List[Dict]) -> List[Tuple[str, str, str, str]]
     return gt_list
 
 
-def test_choice(engine, parquet_path, save_json_path, limit: Optional[int] = None, **kw):
+def _two_turn(engine, images, questions2, batch_size: int, **kw):
+    """Run (recognize -> follow-up) turns, batched when batch_size > 1."""
+    responses = []
+    if batch_size > 1:
+        for i in range(0, len(images), batch_size):
+            imgs = images[i : i + batch_size]
+            _, hists = engine.batch_chat_ocr(
+                imgs, [RECOGNIZE_PROMPT] * len(imgs), return_histories=True, **kw
+            )
+            out = engine.batch_chat_ocr(
+                imgs, questions2[i : i + batch_size], histories=hists, **kw
+            )
+            responses.extend(out)
+    else:
+        for img, q2 in zip(images, questions2):
+            _, history = engine.chat_ocr(img, RECOGNIZE_PROMPT, return_history=True, **kw)
+            response, _ = engine.chat_ocr(
+                img, q2, history=history, return_history=True, **kw
+            )
+            responses.append(response)
+    return responses
+
+
+def test_choice(
+    engine, parquet_path, save_json_path, limit: Optional[int] = None,
+    batch_size: int = 1, **kw,
+):
     """Two-turn choice QA. The reference harness runs a 3-sample smoke slice
     (evaluate.py:257); pass limit=3 to reproduce, None for the full split."""
     images, annotations = get_parquet(parquet_path)
@@ -179,18 +205,16 @@ def test_choice(engine, parquet_path, save_json_path, limit: Optional[int] = Non
     if limit is not None:
         images, annotations, gt_list = images[:limit], annotations[:limit], gt_list[:limit]
 
-    responses, detailed = [], []
-    for img, annot, gt_info in zip(images, annotations, gt_list):
-        _, history = engine.chat_ocr(img, RECOGNIZE_PROMPT, return_history=True, **kw)
-        prompt = annot["conversations"][0]["value"].replace("<image>\n", "")
-        question = prompt + "\n只需要输出问题的答案，禁止输出其他内容！答案："
-        response, history = engine.chat_ocr(
-            img, question, history=history, return_history=True, **kw
-        )
-        responses.append(response)
-        detailed.append(
-            {"imgPath": annot.get("image", ""), "output": response, "reference": gt_info[0]}
-        )
+    questions2 = [
+        annot["conversations"][0]["value"].replace("<image>\n", "")
+        + "\n只需要输出问题的答案，禁止输出其他内容！答案："
+        for annot in annotations
+    ]
+    responses = _two_turn(engine, images, questions2, batch_size, **kw)
+    detailed = [
+        {"imgPath": annot.get("image", ""), "output": resp, "reference": gt_info[0]}
+        for annot, resp, gt_info in zip(annotations, responses, gt_list)
+    ]
 
     accuracy = evaluate_choice_accuracy(responses, gt_list)
     result = {
@@ -203,17 +227,16 @@ def test_choice(engine, parquet_path, save_json_path, limit: Optional[int] = Non
     return accuracy, result
 
 
-def _reasoning_task(engine, parquet_path, save_json_path, extra_keys=(), **kw):
+def _reasoning_task(engine, parquet_path, save_json_path, extra_keys=(), batch_size: int = 1, **kw):
     images, annotations = get_parquet(parquet_path)
-    detailed = []
-    for img, annot in zip(images, annotations):
-        _, history = engine.chat_ocr(img, RECOGNIZE_PROMPT, return_history=True, **kw)
+    questions2 = []
+    for annot in annotations:
         prompt = annot["conversations"][0]["value"]
         m = re.search(r"^(.*?)\n[A-Z]:", prompt, re.DOTALL)
-        question = m.group(1).strip() if m else prompt
-        response, history = engine.chat_ocr(
-            img, question, history=history, return_history=True, **kw
-        )
+        questions2.append(m.group(1).strip() if m else prompt)
+    responses = _two_turn(engine, images, questions2, batch_size, **kw)
+    detailed = []
+    for annot, response in zip(annotations, responses):
         rec = {
             "imgPath": annot.get("image", ""),
             "chinese": response.split("INTENT:")[0],

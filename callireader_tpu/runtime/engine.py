@@ -467,12 +467,14 @@ class CalliReaderEngine:
         images: Sequence[Any],
         questions: Sequence[str],
         *,
+        histories: Optional[Sequence[Optional[List[Tuple[str, str]]]]] = None,
+        return_histories: bool = False,
         use_p: bool = True,
         drop_zero: bool = False,
         hard_vq: bool = False,
         repetition_penalty: float = 1.5,
         max_new_tokens: int = 1024,
-    ) -> List[str]:
+    ):
         """Batched full chat_ocr: per-image slicing priors + CalliAlign run
         back-to-back (device stays busy across images via bucketed programs),
         then ALL rows decode in ONE prefill + ONE while_loop.
@@ -481,9 +483,12 @@ class CalliReaderEngine:
         evaluates CalliBench strictly sequentially (evaluate.py:142-143).
         """
         assert len(images) == len(questions)
+        if histories is None:
+            histories = [None] * len(images)
         conv_sep = get_conv_template(self.cfg.template).sep
         rows = []
-        for image, question in zip(images, questions):
+        out_questions = []
+        for image, question, history in zip(images, questions, histories):
             img_np = np.asarray(preprocess.open_image(image))
             pixel_values = preprocess.load_image(
                 img_np, self.cfg.force_image_size, self.cfg.max_dynamic_patch,
@@ -495,13 +500,14 @@ class CalliReaderEngine:
                     img_np, drop_zero=drop_zero, hard_vq=hard_vq
                 )
             q = "<image>\n" + question if "<image>" not in question else question
-            if use_p and pseudo is not None and ALIGNED not in q:
+            if history is None and use_p and pseudo is not None and ALIGNED not in q:
                 q = q + ALIGNED * pseudo.shape[0]
-            conv = build_chat_prompt(q, None)
+            out_questions.append(q)
+            conv = build_chat_prompt(q, history)
             query = self._expand_image_tokens(conv.get_prompt(), [pixel_values.shape[0]])
             ids = self._tokenize_prompt(query)
             img_embeds = self.encode_image_tiles(pixel_values)
-            rows.append((ids, img_embeds, pseudo))
+            rows.append((ids, img_embeds, pseudo if history is None else pseudo))
 
         bucket = gen.bucket_length(max(len(r[0]) for r in rows))
         built = [
@@ -524,9 +530,16 @@ class CalliReaderEngine:
         tokens, lengths = np.asarray(tokens), np.asarray(lengths)
         self.timings.add("decode", time.time() - t0)
         out = []
+        new_histories = []
         for i in range(len(rows)):
             text = self.tok.decode(tokens[i, : lengths[i]].tolist(), skip_special_tokens=True)
-            out.append(text.split(conv_sep)[0].strip())
+            resp = text.split(conv_sep)[0].strip()
+            out.append(resp)
+            h = list(histories[i] or [])
+            h.append((out_questions[i], resp))
+            new_histories.append(h)
+        if return_histories:
+            return out, new_histories
         return out
 
     def dynamic_chat(

@@ -126,3 +126,37 @@ def test_stscore_judge_on_results(tmp_path):
     p.write_text(json.dumps(result))
     score = STScoreJudge().score_result_file(str(p))
     assert score["STScore"] > 0.99
+
+
+def test_choice_batched(engine, tmp_path):
+    annots = [
+        {
+            "image": f"{i}.jpg",
+            "conversations": [
+                {"from": "human", "value": "作者是谁？\nA: 王羲之\nB: 颜真卿\nC: 柳公权"},
+                {"from": "gpt", "value": "A"},
+            ],
+        }
+        for i in range(3)
+    ]
+    path = _make_parquet(tmp_path, annots, "choice_b.parquet")
+    acc, result = callibench.test_choice(
+        engine, path, None, limit=3, batch_size=2, max_new_tokens=3
+    )
+    assert result["summary"]["total_samples"] == 3
+
+
+def test_bilingual_batched(engine, tmp_path):
+    annots = [
+        {
+            "image": f"{i}.jpg",
+            "conversations": [
+                {"from": "human", "value": "请翻译并分析这幅作品。"},
+                {"from": "gpt", "value": "ref"},
+            ],
+        }
+        for i in range(2)
+    ]
+    path = _make_parquet(tmp_path, annots, "bil_b.parquet")
+    out = callibench.test_bilingual(engine, path, None, batch_size=2, max_new_tokens=3)
+    assert len(out["detailed"]) == 2
