@@ -95,7 +95,9 @@ class ContinuousBatcher:
         return self._prefill_cache[bucket]
 
     def _insert_impl(self, src_kv, cache_k, cache_v, slot):
-        sk, sv = src_kv  # (L, 1, Hkv, max_len, D)
+        # src holds only the prompt-bucket prefix — copying the full max_len
+        # region would move the whole slot's cache per admitted request
+        sk, sv = src_kv  # (L, 1, Hkv, bucket, D)
         cache_k = jax.lax.dynamic_update_slice(cache_k, sk, (0, slot, 0, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(cache_v, sv, (0, slot, 0, 0, 0))
         return cache_k, cache_v
@@ -118,7 +120,8 @@ class ContinuousBatcher:
                 self.params, jnp.asarray(embeds), jnp.asarray(mask)
             )
             self.cache_k, self.cache_v = self._insert(
-                (cache.k, cache.v), self.cache_k, self.cache_v, jnp.asarray(slot, jnp.int32)
+                (cache.k[:, :, :, :bucket, :], cache.v[:, :, :, :bucket, :]),
+                self.cache_k, self.cache_v, jnp.asarray(slot, jnp.int32),
             )
             self.last_logits = self.last_logits.at[slot].set(logits[0])
             self.lengths[slot] = bucket  # left-padded rows occupy [0, bucket)

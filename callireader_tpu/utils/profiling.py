@@ -62,6 +62,39 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def parse_xplane(trace_dir: str, top: int = 15):
+    """Summarize a jax.profiler trace: [(total_ms, op_name)] per TPU plane.
+
+    Parses the .xplane.pb protobuf directly (the tensorboard profile plugin in
+    this image is version-broken); requires
+    PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION=python when the fast proto runtime
+    rejects the generated schema."""
+    import glob
+    import os
+
+    os.environ.setdefault("PROTOCOL_BUFFERS_PYTHON_IMPLEMENTATION", "python")
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2  # type: ignore
+
+    results = {}
+    for pb in glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True):
+        xs = xplane_pb2.XSpace()
+        with open(pb, "rb") as f:
+            xs.ParseFromString(f.read())
+        for plane in xs.planes:
+            if "TPU" not in plane.name:
+                continue
+            stats = {}
+            meta = plane.event_metadata
+            for line in plane.lines:
+                for ev in line.events:
+                    name = meta[ev.metadata_id].name if ev.metadata_id in meta else "?"
+                    stats[name] = stats.get(name, 0) + ev.duration_ps
+            results[plane.name] = sorted(
+                ((ps / 1e9, name) for name, ps in stats.items()), reverse=True
+            )[:top]
+    return results
+
+
 def llm_flops_per_token(
     hidden: int, intermediate: int, num_layers: int, vocab: int,
     num_q_heads: int, num_kv_heads: int, head_dim: int, seq_len: int,
