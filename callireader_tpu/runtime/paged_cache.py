@@ -1,0 +1,288 @@
+"""Paged KV cache + paged continuous-batching scheduler.
+
+vLLM-style memory management on TPU: the KV cache is a global pool of
+fixed-size pages (L, NPAGES, Hkv, page, D); each request owns just the pages
+its tokens occupy, so HBM scales with live tokens instead of
+slots × max_len. Attention walks the page table inside the Pallas kernel
+(kernels/paged_decode.py) — the gather never materializes.
+
+No reference equivalent (the reference decodes one request at a time through
+HF's contiguous cache).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from callireader_tpu.core.config import LLMConfig
+from callireader_tpu.core.dtypes import DTypePolicy, DEFAULT_POLICY
+from callireader_tpu.models import internlm2
+from callireader_tpu.runtime import generate as gen
+from callireader_tpu.runtime.serving import Request
+
+
+class PagePool:
+    """Host-side page allocator over the device pools."""
+
+    def __init__(self, num_pages: int):
+        # page 0 is reserved as the trash page: inactive decode slots write
+        # their garbage token there instead of corrupting live pages
+        self.free = list(range(num_pages - 1, 0, -1))
+
+    def alloc(self, n: int) -> List[int]:
+        if len(self.free) < n:
+            raise MemoryError(f"page pool exhausted (need {n}, have {len(self.free)})")
+        return [self.free.pop() for _ in range(n)]
+
+    def release(self, pages: List[int]) -> None:
+        self.free.extend(pages)
+
+
+@dataclasses.dataclass
+class _Slot:
+    req: Request
+    pages: List[int]
+    start: int      # first valid token offset inside the first page region
+    length: int     # absolute token count written (incl. left pad region)
+    seen: np.ndarray
+
+
+class PagedBatcher:
+    """Continuous batching over the paged pool.
+
+    Same scheduling contract as runtime/serving.ContinuousBatcher, but a slot
+    holds only as many pages as its tokens need (bucketed prompt + generation
+    growth), and pages return to the pool the moment a request finishes.
+    """
+
+    def __init__(
+        self,
+        llm_params: Dict[str, Any],
+        cfg: LLMConfig,
+        *,
+        num_slots: int = 8,
+        num_pages: int = 256,
+        page_size: int = 128,
+        max_pages_per_slot: int = 32,
+        policy: DTypePolicy = DEFAULT_POLICY,
+        use_flash: Optional[bool] = None,
+        cache_dtype=jnp.bfloat16,
+        interpret: bool = False,
+    ):
+        self.params = llm_params
+        self.cfg = cfg
+        self.B = num_slots
+        self.page = page_size
+        self.P = max_pages_per_slot
+        self.policy = policy
+        self.use_flash = use_flash
+        self.interpret = interpret
+        L, Hkv, D = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
+        self.kpool = jnp.zeros((L, num_pages, Hkv, page_size, D), cache_dtype)
+        self.vpool = jnp.zeros((L, num_pages, Hkv, page_size, D), cache_dtype)
+        self.pool = PagePool(num_pages)
+        self.slots: List[Optional[_Slot]] = [None] * num_slots
+        self.last_logits = jnp.zeros((num_slots, cfg.vocab_size), jnp.float32)
+        self.queue: List[Request] = []
+        self.done: List[Request] = []
+
+        self._prefill_cache: Dict[int, Callable] = {}
+        self._insert_page = jax.jit(self._insert_page_impl, donate_argnums=(1,))
+        self._decode = jax.jit(self._decode_impl)
+
+    # ------------------------------------------------------------------
+
+    def _prefill_fn(self, bucket: int):
+        if bucket not in self._prefill_cache:
+            self._prefill_cache[bucket] = jax.jit(
+                lambda p, e, m: internlm2.prefill(
+                    p, self.cfg, inputs_embeds=e, attention_mask=m, max_len=bucket,
+                    policy=self.policy, use_flash=self.use_flash,
+                    cache_dtype=self.kpool.dtype,
+                )
+            )
+        return self._prefill_cache[bucket]
+
+    def _insert_page_impl(self, src, pool, page_id):
+        # src (L, Hkv, page, D) -> pool[:, page_id]
+        return jax.lax.dynamic_update_slice(
+            pool, src[:, None], (0, page_id, 0, 0, 0)
+        )
+
+    def _decode_impl(self, params, ids, kpool, vpool, page_table, valid, write_page, write_off, positions):
+        """One decode step over all slots; k/v for the new token are computed
+        by a multislot-style layer scan that writes into (page, offset)."""
+        from callireader_tpu.kernels.decode_attention import flash_decode  # noqa: F401 (fallback path)
+        from callireader_tpu.kernels.paged_decode import paged_flash_decode
+
+        cfg = self.cfg
+        policy = self.policy
+        x = internlm2.embed_tokens(params, ids, policy.compute_dtype)
+        B, S, _ = x.shape
+        cos, sin = internlm2.cos_sin_for(cfg, positions, self.P * self.page)
+        batch_idx = jnp.arange(B)
+
+        def body(carry, p):
+            x, kpool, vpool, idx = carry
+            h = internlm2.rms_norm(x, p["attn_norm"], cfg.rms_norm_eps, policy)
+            q, k, v = internlm2._qkv(p, h, cfg)
+            q = internlm2.apply_rope(q, cos, sin)
+            k = internlm2.apply_rope(k, cos, sin)
+            # write the new token into (layer idx, page, offset) per slot
+            kpool = kpool.at[idx, write_page, :, write_off, :].set(
+                k[batch_idx, :, 0, :].astype(kpool.dtype)
+            )
+            vpool = vpool.at[idx, write_page, :, write_off, :].set(
+                v[batch_idx, :, 0, :].astype(vpool.dtype)
+            )
+            use_pallas = self.interpret or (
+                self.use_flash
+                if self.use_flash is not None
+                else jax.devices()[0].platform == "tpu"
+            )
+            if use_pallas:
+                ctx = paged_flash_decode(
+                    q, kpool, vpool, idx, page_table, valid, interpret=self.interpret
+                )
+            else:
+                ctx = self._xla_paged_attention(q, kpool, vpool, idx, page_table, valid)
+            ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, -1)
+            x = x + internlm2._proj(p, ctx, "wo")
+            x = internlm2._mlp(p, x, cfg, policy)
+            return (x, kpool, vpool, idx + 1), None
+
+        (x, kpool, vpool, _), _ = jax.lax.scan(
+            body, (x, kpool, vpool, jnp.zeros((), jnp.int32)), params["layers"]
+        )
+        x = internlm2.rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
+        logits = internlm2._logits(params, x, policy)[:, 0]
+        return logits, kpool, vpool
+
+    def _xla_paged_attention(self, q, kpool, vpool, idx, page_table, valid):
+        """Fallback paged attention (gathers pages; used off-TPU)."""
+        B = q.shape[0]
+        lk = jax.lax.dynamic_index_in_dim(kpool, idx, 0, keepdims=False)  # (NP,Hkv,page,D)
+        lv = jax.lax.dynamic_index_in_dim(vpool, idx, 0, keepdims=False)
+        k = lk[page_table]  # (B, P, Hkv, page, D)
+        v = lv[page_table]
+        Bp, P, Hkv, page, D = k.shape
+        k = k.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, P * page, D)
+        v = v.transpose(0, 2, 1, 3, 4).reshape(B, Hkv, P * page, D)
+        kv_seg = jnp.where(valid.reshape(B, P * page) > 0, 0, -9).astype(jnp.int32)
+        from callireader_tpu.kernels.attention import attention_reference
+
+        return attention_reference(
+            q, k.astype(q.dtype), v.astype(q.dtype), causal=False,
+            q_segment_ids=jnp.zeros((B, 1), jnp.int32), kv_segment_ids=kv_seg,
+        )
+
+    # ------------------------------------------------------------------
+
+    def submit(self, req: Request) -> None:
+        self.queue.append(req)
+
+    def _admit(self) -> None:
+        for s in range(self.B):
+            if self.slots[s] is not None or not self.queue:
+                continue
+            req = self.queue[0]
+            S = req.embeds.shape[0]
+            bucket = gen.bucket_length(max(S, self.page))
+            bucket = -(-bucket // self.page) * self.page
+            n_pages = min(
+                self.P, -(-(bucket + req.max_new_tokens) // self.page)
+            )
+            if len(self.pool.free) < n_pages:
+                return  # backpressure: wait for pages
+            self.queue.pop(0)
+            pages = self.pool.alloc(n_pages)
+
+            embeds = np.zeros((1, bucket, req.embeds.shape[-1]), req.embeds.dtype)
+            embeds[0, bucket - S:] = req.embeds
+            mask = np.zeros((1, bucket), np.int32)
+            mask[0, bucket - S:] = 1
+            logits, cache = self._prefill_fn(bucket)(
+                self.params, jnp.asarray(embeds), jnp.asarray(mask)
+            )
+            # scatter prompt pages into the pool
+            for i in range(bucket // self.page):
+                src_k = cache.k[:, 0, :, i * self.page : (i + 1) * self.page, :]
+                src_v = cache.v[:, 0, :, i * self.page : (i + 1) * self.page, :]
+                self.kpool = self._insert_page(src_k, self.kpool, jnp.asarray(pages[i]))
+                self.vpool = self._insert_page(src_v, self.vpool, jnp.asarray(pages[i]))
+            self.last_logits = self.last_logits.at[s].set(logits[0])
+            self.slots[s] = _Slot(
+                req=req, pages=pages, start=bucket - S, length=bucket,
+                seen=np.zeros(self.cfg.vocab_size, bool),
+            )
+            req.tokens = []
+
+    def step(self) -> int:
+        self._admit()
+        active = [s for s in range(self.B) if self.slots[s] is not None]
+        if not active:
+            return 0
+
+        logits = np.asarray(self.last_logits)
+        next_tokens = np.zeros(self.B, np.int32)
+        for s in active:
+            slot = self.slots[s]
+            req = slot.req
+            lg = logits[s]
+            if req.repetition_penalty != 1.0:
+                pen = np.where(lg < 0, lg * req.repetition_penalty, lg / req.repetition_penalty)
+                lg = np.where(slot.seen, pen, lg)
+            tok = int(lg.argmax())
+            req.tokens.append(tok)
+            slot.seen[tok] = True
+            next_tokens[s] = tok
+            cap = len(slot.pages) * self.page
+            if tok in req.eos_token_ids or len(req.tokens) >= req.max_new_tokens or (
+                slot.length + 1 >= cap
+            ):
+                self.done.append(req)
+                self.pool.release(slot.pages)
+                self.slots[s] = None
+
+        still = [s for s in range(self.B) if self.slots[s] is not None]
+        if still:
+            page_table = np.zeros((self.B, self.P), np.int32)
+            valid = np.zeros((self.B, self.P, self.page), np.int32)
+            write_page = np.zeros(self.B, np.int32)
+            write_off = np.zeros(self.B, np.int32)
+            positions = np.zeros((self.B, 1), np.int32)
+            for s in still:
+                slot = self.slots[s]
+                page_table[s, : len(slot.pages)] = slot.pages
+                for i in range(len(slot.pages)):
+                    lo, hi = i * self.page, (i + 1) * self.page
+                    span_lo = max(lo, slot.start)
+                    span_hi = min(hi, slot.length + 1)  # +1: the token being written
+                    if span_hi > span_lo:
+                        valid[s, i, span_lo - lo : span_hi - lo] = 1
+                write_page[s] = page_table[s, slot.length // self.page]
+                write_off[s] = slot.length % self.page
+                positions[s, 0] = slot.length - slot.start
+
+            logits_new, self.kpool, self.vpool = self._decode(
+                self.params, jnp.asarray(next_tokens[:, None]),
+                self.kpool, self.vpool,
+                jnp.asarray(page_table), jnp.asarray(valid),
+                jnp.asarray(write_page), jnp.asarray(write_off),
+                jnp.asarray(positions),
+            )
+            self.last_logits = logits_new
+            for s in still:
+                self.slots[s].length += 1
+        return len(still)
+
+    def run(self) -> List[Request]:
+        while self.queue or any(s is not None for s in self.slots):
+            self.step()
+        out, self.done = self.done, []
+        return out
