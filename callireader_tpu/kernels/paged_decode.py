@@ -93,12 +93,17 @@ def paged_flash_decode(
     L, NP, Hkv, page, _ = kpool.shape
     G = Hq // Hkv
     P = page_table.shape[1]
+    if page % 128 != 0 and not interpret:
+        # Mosaic lane rule: the valid-mask block's last dim is `page`
+        raise ValueError(f"page_size must be a multiple of 128 (got {page})")
     if scale is None:
         scale = D**-0.5
 
     qg = q[:, :, 0, :].reshape(B, Hkv, G, D)
     flat_table = page_table.reshape(-1).astype(jnp.int32)
-    valid3 = valid.astype(jnp.int32)
+    # (B, 1, P*page): Mosaic needs the 2nd-to-last block dim to equal the
+    # array dim, so the per-page window is carved from the flattened last axis
+    valid3 = valid.astype(jnp.int32).reshape(B, 1, P * page)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -113,7 +118,7 @@ def paged_flash_decode(
                 (1, 1, 1, page, D),
                 lambda b, h, j, l_ref, pt, P_=P: (l_ref[0], pt[b * P_ + j], h, 0, 0),
             ),
-            pl.BlockSpec((1, 1, page), lambda b, h, j, l_ref, pt: (b, j, 0)),
+            pl.BlockSpec((1, 1, page), lambda b, h, j, l_ref, pt: (b, 0, j)),
         ],
         out_specs=pl.BlockSpec((1, 1, G, D), lambda b, h, j, l_ref, pt: (b, h, 0, 0)),
         scratch_shapes=[

@@ -141,9 +141,12 @@ class PagedBatcher:
                 v[batch_idx, :, 0, :].astype(vpool.dtype)
             )
             use_pallas = self.interpret or (
-                self.use_flash
-                if self.use_flash is not None
-                else jax.devices()[0].platform == "tpu"
+                self.page % 128 == 0  # Mosaic lane rule on the valid mask
+                and (
+                    self.use_flash
+                    if self.use_flash is not None
+                    else jax.devices()[0].platform == "tpu"
+                )
             )
             if use_pallas:
                 ctx = paged_flash_decode(
