@@ -25,6 +25,14 @@ def main(argv=None):
     parser.add_argument("--output", type=str, required=True)
     parser.add_argument("--slots", type=int, default=8)
     parser.add_argument("--max-len", type=int, default=4096)
+    parser.add_argument(
+        "--paged", action="store_true",
+        help="paged KV cache (runtime/paged_cache.py): HBM scales with live "
+        "tokens instead of slots*max_len",
+    )
+    parser.add_argument("--page-size", type=int, default=128)
+    parser.add_argument("--num-pages", type=int, default=None,
+                        help="pool size; default sized to slots*max_len")
     parser.add_argument("--preset", type=str, default="callireader-8b")
     parser.add_argument("--checkpoint", type=str, default=os.environ.get("CALLIREADER_CKPT"))
     parser.add_argument("--random-init", action="store_true")
@@ -49,10 +57,22 @@ def main(argv=None):
     sep = get_conv_template(cfg.template).sep
     eos = (engine.tok.convert_tokens_to_ids(sep),)
 
-    batcher = ContinuousBatcher(
-        engine.params["llm"], cfg.llm, num_slots=args.slots, max_len=args.max_len,
-        policy=engine.policy, use_flash=engine.use_flash,
-    )
+    if args.paged:
+        from callireader_tpu.runtime.paged_cache import PagedBatcher
+
+        pages_per_slot = -(-args.max_len // args.page_size)
+        num_pages = args.num_pages or args.slots * pages_per_slot + 1
+        batcher = PagedBatcher(
+            engine.params["llm"], cfg.llm, num_slots=args.slots,
+            num_pages=num_pages, page_size=args.page_size,
+            max_pages_per_slot=pages_per_slot,
+            policy=engine.policy, use_flash=engine.use_flash,
+        )
+    else:
+        batcher = ContinuousBatcher(
+            engine.params["llm"], cfg.llm, num_slots=args.slots, max_len=args.max_len,
+            policy=engine.policy, use_flash=engine.use_flash,
+        )
 
     requests = [json.loads(l) for l in open(args.input, encoding="utf-8") if l.strip()]
     t0 = time.time()

@@ -38,3 +38,19 @@ def test_serve_jsonl(tmp_path):
     lines = [json.loads(l) for l in open(out)]
     assert [l["id"] for l in lines] == ["a", "b", "c"]
     assert all(isinstance(l["response"], str) for l in lines)
+
+    # paged KV cache path produces the same responses
+    out2 = tmp_path / "out_paged.jsonl"
+    serve.main(
+        [
+            "--input", str(inp),
+            "--output", str(out2),
+            "--slots", "2",
+            "--max-len", "512",
+            "--preset", "callireader-tiny",
+            "--random-init",
+            "--paged",
+        ]
+    )
+    lines2 = [json.loads(l) for l in open(out2)]
+    assert lines2 == lines
