@@ -25,7 +25,8 @@ def main(argv=None):
     parser = argparse.ArgumentParser(description="args for evaluation task")
     parser.add_argument(
         "--type", type=str,
-        choices=["full_page", "region_wise", "choice", "bilingual", "intent"],
+        choices=["full_page", "region_wise", "choice", "bilingual", "intent",
+                 "mmbench", "refcoco"],
     )
     parser.add_argument("--save_name", type=str, default="exp")
     parser.add_argument("--data", type=str, default="./CalliBench")
@@ -44,6 +45,8 @@ def main(argv=None):
     parser.add_argument("--quant", type=str, default=None, choices=[None, "int8"])
     parser.add_argument("--adapter", type=str, default=None,
                         help="orbax e-IT checkpoint dir (LoRA+mlp1) to merge before serving")
+    parser.add_argument("--data-path", type=str, default=None,
+                        help="mmbench TSV / refcoco JSON path (overrides --data)")
     args = parser.parse_args(argv)
 
     save_dir = f"outputs/{args.save_name}"
@@ -104,6 +107,29 @@ def main(argv=None):
             batch_size=args.batch_size,
             **kw,
         )
+    elif args.type == "mmbench":
+        from callireader_tpu.evalx.mmbench import evaluate_mmbench
+
+        out = evaluate_mmbench(
+            engine, args.data_path or args.data,
+            os.path.join(save_dir, "mmbench.xlsx"),
+        )
+        print(out)
+    elif args.type == "refcoco":
+        import json as _json
+
+        from callireader_tpu.evalx.refcoco import evaluate_refcoco
+
+        with open(args.data_path or args.data, encoding="utf-8") as f:
+            samples = _json.load(f)
+        from PIL import Image
+
+        for s_ in samples:
+            s_["image"] = Image.open(s_["image"]).convert("RGB")
+        out = evaluate_refcoco(engine, samples)
+        with open(os.path.join(save_dir, "refcoco.json"), "w") as f:
+            _json.dump({"accuracy": out["accuracy"]}, f)
+        print(f"refcoco IoU@0.5 accuracy: {out['accuracy']:.4f}")
 
     if args.verbose and engine.timings.spans:
         import sys

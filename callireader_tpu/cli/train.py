@@ -24,6 +24,19 @@ import sys
 import time
 
 
+def _load_recipe(name_or_path: str) -> dict:
+    if name_or_path.endswith(".py") or os.path.sep in name_or_path:
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("_recipe", name_or_path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod.config()
+    from callireader_tpu.configs import get_config as get_recipe
+
+    return get_recipe(name_or_path)
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="e-IT training")
     parser.add_argument("--data", type=str, required=True, help="annotation json/jsonl")
@@ -51,6 +64,21 @@ def main(argv=None):
     parser.add_argument("--check-data", action="store_true",
                         help="print a decoded dataset sample and exit "
                              "(DatasetInfoHook / check-custom-dataset equivalent)")
+    parser.add_argument("--config", type=str, default=None,
+                        help="recipe name from the config zoo (list-cfg) or a "
+                             ".py file defining config(); sets flag defaults")
+    pre, _ = parser.parse_known_args(argv)
+    if pre.config:
+        recipe = _load_recipe(pre.config)
+        key_map = {
+            "preset": "preset", "batch_size": "batch_size",
+            "accumulative_counts": "grad_accum", "lr": "lr",
+            "lora_rank": "lora_rank", "lora_alpha": "lora_alpha",
+            "max_epochs": "epochs", "save_steps": "ckpt_interval",
+        }
+        parser.set_defaults(**{
+            key_map[k]: v for k, v in recipe.items() if k in key_map
+        })
     args = parser.parse_args(argv)
 
     import jax

@@ -16,7 +16,7 @@ juggling stays host-side numpy — it is O(#columns) tiny.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -187,3 +187,81 @@ def predict(
     results = dict(sorted(results.items()))
     results = postprocess(results, w, h)
     return dict(sorted(results.items()))
+
+
+# ---------------------------------------------------------------------------
+# training / evaluation (models/model.py:351-418: AdamW + cosine warm
+# restarts, MSE on rank scores; eval reports avg loss + order accuracy)
+# ---------------------------------------------------------------------------
+
+
+def mse_loss(params: Params, cfg: OrderFormerConfig, boxes: jax.Array, ranks: jax.Array) -> jax.Array:
+    """boxes (B, max_boxes, 4), ranks (B, max_boxes, 1) float targets
+    (0 rows beyond each sample's box count, matching the padded inputs)."""
+    pred = forward(params, cfg, boxes)
+    return jnp.mean((pred - ranks.astype(pred.dtype)) ** 2)
+
+
+def make_train_step(cfg: OrderFormerConfig, lr: float = 2e-4, weight_decay: float = 0.0,
+                    t0: int = 10, t_mult: int = 2, total_steps: int = 1000):
+    """-> (train_step, tx). Cosine warm restarts (T_0=10 doubling), AdamW."""
+    import optax
+
+    schedules, boundaries, t, pos = [], [], t0, 0
+    while pos < total_steps:
+        schedules.append(optax.cosine_decay_schedule(lr, t, alpha=1e-6 / lr))
+        pos += t
+        boundaries.append(pos)
+        t *= t_mult
+    tx = optax.adamw(optax.join_schedules(schedules, boundaries[:-1]), weight_decay=weight_decay)
+
+    @jax.jit
+    def train_step(params, opt_state, boxes, ranks):
+        loss, grads = jax.value_and_grad(mse_loss)(params, cfg, boxes, ranks)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return train_step, tx
+
+
+def train_orderformer(params: Params, cfg: OrderFormerConfig, boxes: np.ndarray,
+                      ranks: np.ndarray, *, batch_size: int = 4, lr: float = 2e-4,
+                      weight_decay: float = 0.0, epochs: int = 10, seed: int = 0,
+                      verbose: bool = False) -> Tuple[Params, float]:
+    """boxes (N, max_boxes, 4) / ranks (N, max_boxes, 1) -> (best params, loss)."""
+    n = len(boxes)
+    steps = max(1, n // batch_size) * epochs
+    train_step, tx = make_train_step(cfg, lr, weight_decay, total_steps=steps)
+    opt_state = tx.init(params)
+    rng = np.random.RandomState(seed)
+    best, best_params = float("inf"), params
+    for ep in range(epochs):
+        order = rng.permutation(n)
+        total, nb = 0.0, 0
+        for i in range(0, n - batch_size + 1, batch_size):
+            idx = order[i : i + batch_size]
+            params, opt_state, loss = train_step(
+                params, opt_state, jnp.asarray(boxes[idx]), jnp.asarray(ranks[idx])
+            )
+            total += float(loss); nb += 1
+        avg = total / max(nb, 1)
+        if verbose:
+            print(f"epoch {ep + 1}/{epochs} loss {avg:.5f}")
+        if avg < best:
+            best, best_params = avg, params
+    return best_params, best
+
+
+def evaluate_orderformer(params: Params, cfg: OrderFormerConfig, boxes: np.ndarray,
+                         ranks: np.ndarray, counts: np.ndarray) -> Dict[str, float]:
+    """Avg MSE + exact-order accuracy (fraction of samples whose decoded
+    permutation matches the target ranks; models/model.py:390-418)."""
+    pred = np.asarray(forward(params, cfg, jnp.asarray(boxes)))
+    mse = float(np.mean((pred - ranks) ** 2))
+    correct = 0
+    for i in range(len(boxes)):
+        n = int(counts[i])
+        got = _decode_ranks(pred[i], n)
+        want = _decode_ranks(ranks[i], n)
+        correct += int(np.array_equal(got, want))
+    return {"loss": mse, "order_accuracy": correct / max(len(boxes), 1)}

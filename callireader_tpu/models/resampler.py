@@ -115,3 +115,65 @@ def forward(
 
     learns, _ = jax.lax.scan(body, learns, params["layers"])
     return layer_norm(learns, params["norm_scale"], params["norm_bias"], LN_EPS, policy)
+
+
+# ---------------------------------------------------------------------------
+# MLP-resampler ablation variants (reference perceiver_resampler.py:102-154;
+# not on the main CalliAlign path, kept for checkpoint/ablation parity)
+# ---------------------------------------------------------------------------
+
+
+def init_ff2(key, input_dim: int, output_dim: int, mult: int = 4, dtype=jnp.float32) -> Params:
+    """FeedForward_2: LayerNorm -> Linear(in, in*mult) -> GELU -> Linear(in*mult, out)."""
+    k1, k2 = jax.random.split(key)
+    init = jax.nn.initializers.normal(0.02)
+    return {
+        "norm_scale": jnp.ones((input_dim,), dtype),
+        "norm_bias": jnp.zeros((input_dim,), dtype),
+        "w1": init(k1, (input_dim, input_dim * mult), jnp.float32).astype(dtype),
+        "b1": jnp.zeros((input_dim * mult,), dtype),
+        "w2": init(k2, (input_dim * mult, output_dim), jnp.float32).astype(dtype),
+        "b2": jnp.zeros((output_dim,), dtype),
+    }
+
+
+def ff2(params: Params, x: jax.Array, *, policy: DTypePolicy = DEFAULT_POLICY) -> jax.Array:
+    h = layer_norm(x, params["norm_scale"], params["norm_bias"], LN_EPS, policy)
+    h = h @ params["w1"].astype(h.dtype) + params["b1"].astype(h.dtype)
+    h = jax.nn.gelu(h, approximate=False)
+    return h @ params["w2"].astype(h.dtype) + params["b2"].astype(h.dtype)
+
+
+def init_mlp_resampler(key, num_tokens: int = 256, mult: int = 4, dtype=jnp.float32) -> Params:
+    """MLP variant: squeezes the 256 patch tokens down to 3 along the token
+    axis (reference :102-115 permutes, runs two FeedForward_2 over tokens)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "ff1": init_ff2(k1, num_tokens, num_tokens, mult, dtype),
+        "ff2": init_ff2(k2, num_tokens, 3, mult, dtype),
+    }
+
+
+def mlp_resampler(params: Params, x: jax.Array, *, policy: DTypePolicy = DEFAULT_POLICY) -> jax.Array:
+    """(B, N, E) -> (B, 3, E): token-axis MLP."""
+    h = x.transpose(0, 2, 1)  # (B, E, N)
+    h = ff2(params["ff1"], h, policy=policy)
+    h = ff2(params["ff2"], h, policy=policy)
+    return h.transpose(0, 2, 1)
+
+
+def init_mlp_6763(key, input_dim: int, output_dim: int, mult: int = 2, dtype=jnp.float32) -> Params:
+    k1, k2 = jax.random.split(key)
+    return {
+        "ff1": init_ff2(k1, input_dim, output_dim, mult, dtype),
+        "ff2": init_ff2(k2, output_dim, output_dim, mult, dtype),
+    }
+
+
+def mlp_6763(params: Params, x: jax.Array, *, policy: DTypePolicy = DEFAULT_POLICY) -> jax.Array:
+    """(B, N, E) -> (B, output_dim): flatten then two FeedForward_2 blocks
+    (reference :117-128; classifier-style ablation head)."""
+    b = x.shape[0]
+    h = x.reshape(b, -1)
+    h = ff2(params["ff1"], h, policy=policy)
+    return ff2(params["ff2"], h, policy=policy)

@@ -17,6 +17,7 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from callireader_tpu.core.config import LLMConfig, VLMConfig
@@ -239,3 +240,55 @@ def export_reference_format(
     with open(os.path.join(out_dir, "model.safetensors.index.json"), "w") as f:
         json.dump(index, f, indent=2)
     return path
+
+
+def consolidate_safetensors_dtype(src_dir: str, out_dir: str, dtype: Optional[str] = "float32",
+                                  max_shard_bytes: Optional[int] = None) -> str:
+    """Re-write a safetensors export with all float tensors cast to ``dtype``
+    and optionally resharded.
+
+    TPU-native stand-in for the reference's ZeRO-shard consolidation
+    (train/xtuner/utils/zero_to_any_dtype.py:1-696): sharded JAX training
+    state is already consolidated by orbax on restore, so the remaining job
+    is the dtype cast + reshard of the deployable export. Also covers
+    tools/model_converters/split.py when ``max_shard_bytes`` is set.
+    """
+    import glob
+
+    from safetensors.numpy import load_file, save_file
+
+    target = None if dtype is None else np.dtype(
+        jnp.bfloat16 if dtype == "bfloat16" else dtype
+    )
+
+    def is_float(v):
+        return np.issubdtype(v.dtype, np.floating) or v.dtype == jnp.bfloat16
+
+    sd: Dict[str, np.ndarray] = {}
+    for path in sorted(glob.glob(os.path.join(src_dir, "*.safetensors"))):
+        for k, v in load_file(path).items():
+            sd[k] = v.astype(target) if target is not None and is_float(v) else v
+
+    os.makedirs(out_dir, exist_ok=True)
+    shards: list = [{}]
+    size = 0
+    for k, v in sd.items():
+        if max_shard_bytes and size + v.nbytes > max_shard_bytes and shards[-1]:
+            shards.append({})
+            size = 0
+        shards[-1][k] = np.ascontiguousarray(v)
+        size += v.nbytes
+    weight_map = {}
+    if len(shards) == 1:
+        save_file(shards[0], os.path.join(out_dir, "model.safetensors"))
+        weight_map = {k: "model.safetensors" for k in sd}
+    else:
+        n = len(shards)
+        for i, shard in enumerate(shards):
+            name = f"model-{i + 1:05d}-of-{n:05d}.safetensors"
+            save_file(shard, os.path.join(out_dir, name))
+            weight_map.update({k: name for k in shard})
+    with open(os.path.join(out_dir, "model.safetensors.index.json"), "w") as f:
+        json.dump({"metadata": {"total_size": int(sum(v.nbytes for v in sd.values()))},
+                   "weight_map": weight_map}, f, indent=2)
+    return out_dir

@@ -66,10 +66,89 @@ def sharegpt_map_fn(example: Dict) -> Dict:
     return {"conversation": conv}
 
 
+def alpaca_zh_map_fn(example: Dict) -> Dict:
+    """Chinese alpaca variant: instruction_zh/input_zh/output_zh fields."""
+    inp = example.get("input_zh", "")
+    instr = example["instruction_zh"]
+    text = instr if not inp or inp == "<noinput>" else f"{instr}\n{inp}"
+    return {"conversation": [{"input": text, "output": example["output_zh"]}]}
+
+
+def code_alpaca_map_fn(example: Dict) -> Dict:
+    return {
+        "conversation": [
+            {"input": example["prompt"], "output": example["completion"]}
+        ]
+    }
+
+
+def oasst1_map_fn(example: Dict) -> Dict:
+    """### Human: ... ### Assistant: ... single-text transcripts."""
+    conv = []
+    for chunk in example["text"].split("### Human: ")[1:]:
+        if "### Assistant: " not in chunk:
+            continue
+        q, a = chunk.split("### Assistant: ", 1)
+        conv.append({"input": q.strip(), "output": a.strip()})
+    return {"conversation": conv}
+
+
+def wizardlm_map_fn(example: Dict) -> Dict:
+    return sharegpt_map_fn(example)
+
+
+def tiny_codes_map_fn(example: Dict) -> Dict:
+    return {
+        "conversation": [
+            {"input": example["prompt"], "output": example["response"]}
+        ]
+    }
+
+
+def sql_map_fn(example: Dict) -> Dict:
+    return {
+        "conversation": [
+            {
+                "input": f"{example['context']}\n{example['question']}",
+                "output": example["answer"],
+            }
+        ]
+    }
+
+
+def medical_map_fn(example: Dict) -> Dict:
+    instr = example.get("instruction", "")
+    inp = example.get("input", "")
+    text = f"{instr}\n{inp}".strip()
+    return {"conversation": [{"input": text, "output": example["output"]}]}
+
+
+def crime_kg_assistant_map_fn(example: Dict) -> Dict:
+    return {
+        "conversation": [
+            {"input": example["input"], "output": example["output"]}
+        ]
+    }
+
+
+def pretrain_map_fn(example: Dict) -> Dict:
+    """Raw-text pretraining rows: everything is target."""
+    return {"conversation": [{"input": "", "output": example["text"]}]}
+
+
 MAP_FNS: Dict[str, MapFn] = {
     "alpaca": alpaca_map_fn,
+    "alpaca_zh": alpaca_zh_map_fn,
+    "code_alpaca": code_alpaca_map_fn,
     "openai": openai_map_fn,
     "sharegpt": sharegpt_map_fn,
+    "oasst1": oasst1_map_fn,
+    "wizardlm": wizardlm_map_fn,
+    "tiny_codes": tiny_codes_map_fn,
+    "sql": sql_map_fn,
+    "medical": medical_map_fn,
+    "crime_kg_assistant": crime_kg_assistant_map_fn,
+    "pretrain": pretrain_map_fn,
 }
 
 
