@@ -107,13 +107,26 @@ def main():
     assert (np.asarray(lengths) == DECODE_TOKENS).all()
     print(f"[bench] warmup: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # sequential batches: one in-flight batch keeps HBM headroom (a pipelined
-    # two-in-flight variant measured SLOWER — double KV caches crowd the 16GB)
+    # One generate in flight (two full generates crowd HBM with double KV
+    # caches — measured slower), but batch N+1's vision/transfer work is
+    # issued BEFORE syncing batch N's decode: the char h2d rides the DMA
+    # engines while the decode loop owns the compute core. Measured +68%
+    # over the fully sequential loop on v5e.
     stage.clear()
     t0 = time.time()
+    prev = None
     for b in range(1, 1 + N_BATCHES):
-        out = dispatch_batch(b)
-        assert (np.asarray(out[1]) == DECODE_TOKENS).all()
+        built = [build_row(b * BATCH + i) for i in range(BATCH)]
+        if prev is not None:
+            assert (np.asarray(prev[1]) == DECODE_TOKENS).all()
+        embeds = jnp.concatenate([e for e, _ in built], axis=0)
+        mask = np.concatenate([m for _, m in built], axis=0)
+        prev = gen.generate_from_embeds(
+            engine.params["llm"], cfg.llm, embeds, jnp.asarray(mask),
+            gen_cfg=gcfg, max_cache_len=embeds.shape[1] + DECODE_TOKENS,
+            use_flash=on_tpu,
+        )
+    assert (np.asarray(prev[1]) == DECODE_TOKENS).all()
     dt = time.time() - t0
     n_imgs = BATCH * N_BATCHES
     ips = n_imgs / dt
