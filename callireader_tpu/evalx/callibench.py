@@ -73,16 +73,21 @@ def _ocr_task(
         return Image.fromarray(arr[y1:y2, x1:x2])
 
     if batch_size > 1:
+        # pipelined chunks: prepare chunk N+1 (vision + char h2d) while chunk
+        # N's decode runs on device (engine.batch_prepare/batch_decode split)
         responses = []
+        prepared = None
         for i in range(0, len(images), batch_size):
             chunk_imgs = [
                 crop(im, an)
                 for im, an in zip(images[i : i + batch_size], annotations[i : i + batch_size])
             ]
-            out = engine.batch_chat_ocr(
-                chunk_imgs, [prompt] * len(chunk_imgs), **kw
-            )
-            responses.extend(t2s(r) for r in out)
+            nxt = engine.batch_prepare(chunk_imgs, [prompt] * len(chunk_imgs), **kw)
+            if prepared is not None:
+                responses.extend(t2s(r) for r in engine.batch_decode(prepared))
+            prepared = nxt
+        if prepared is not None:
+            responses.extend(t2s(r) for r in engine.batch_decode(prepared))
     else:
         responses = None
 

@@ -482,6 +482,29 @@ class CalliReaderEngine:
         This is the structural throughput win over the reference, which
         evaluates CalliBench strictly sequentially (evaluate.py:142-143).
         """
+        prepared = self.batch_prepare(
+            images, questions, histories=histories, use_p=use_p,
+            drop_zero=drop_zero, hard_vq=hard_vq,
+            repetition_penalty=repetition_penalty, max_new_tokens=max_new_tokens,
+        )
+        return self.batch_decode(prepared, return_histories=return_histories)
+
+    def batch_prepare(
+        self,
+        images: Sequence[Any],
+        questions: Sequence[str],
+        *,
+        histories: Optional[Sequence[Optional[List[Tuple[str, str]]]]] = None,
+        use_p: bool = True,
+        drop_zero: bool = False,
+        hard_vq: bool = False,
+        repetition_penalty: float = 1.5,
+        max_new_tokens: int = 1024,
+    ) -> Dict[str, Any]:
+        """Front half of batch_chat_ocr: vision + CalliAlign + splice,
+        dispatched asynchronously (no host sync). Callers can prepare chunk
+        N+1 while chunk N decodes — the char-canvas h2d rides the DMA engines
+        under the decode loop (the bench.py overlap, ~1.5x on v5e)."""
         assert len(images) == len(questions)
         if histories is None:
             histories = [None] * len(images)
@@ -522,21 +545,38 @@ class CalliReaderEngine:
             repetition_penalty=repetition_penalty,
         )
         t0 = time.time()
+        # async dispatch: prefill + decode start on device, no host sync yet
         tokens, lengths = gen.generate_from_embeds(
             self.params["llm"], self.cfg.llm, embeds, jnp.asarray(mask),
             gen_cfg=gen_cfg, max_cache_len=bucket + max_new_tokens,
             policy=self.policy, use_flash=self.use_flash,
         )
-        tokens, lengths = np.asarray(tokens), np.asarray(lengths)
+        self.timings.add("dispatch", time.time() - t0)
+        return {
+            "tokens": tokens,
+            "lengths": lengths,
+            "out_questions": out_questions,
+            "histories": histories,
+            "conv_sep": conv_sep,
+            "n": len(rows),
+        }
+
+    def batch_decode(self, prepared: Dict[str, Any], *, return_histories: bool = False):
+        """Back half of batch_chat_ocr: sync the generate result and decode
+        to text."""
+        t0 = time.time()
+        tokens = np.asarray(prepared["tokens"])
+        lengths = np.asarray(prepared["lengths"])
         self.timings.add("decode", time.time() - t0)
+        conv_sep = prepared["conv_sep"]
         out = []
         new_histories = []
-        for i in range(len(rows)):
+        for i in range(prepared["n"]):
             text = self.tok.decode(tokens[i, : lengths[i]].tolist(), skip_special_tokens=True)
             resp = text.split(conv_sep)[0].strip()
             out.append(resp)
-            h = list(histories[i] or [])
-            h.append((out_questions[i], resp))
+            h = list(prepared["histories"][i] or [])
+            h.append((prepared["out_questions"][i], resp))
             new_histories.append(h)
         if return_histories:
             return out, new_histories
