@@ -15,7 +15,7 @@ import sys
 
 MODES = (
     "list-cfg", "copy-cfg", "train", "test", "chat", "serve", "inference",
-    "evaluate", "convert", "mmbench", "judge", "get-embeddings",
+    "evaluate", "convert", "preprocess", "mmbench", "judge", "get-embeddings",
     "check-custom-dataset", "log-dataset",
 )
 
@@ -44,7 +44,10 @@ Where MODE is one of {MODES}
        python -m callireader_tpu evaluate --task full_page --parquet ...
        python -m callireader_tpu mmbench --data-path ... 
        python -m callireader_tpu judge --task bilingual --result ...
-  7. Dataset checks:
+  7. Preprocess datasets:
+       python -m callireader_tpu preprocess arxiv SRC DST --categories cs.CL
+       python -m callireader_tpu preprocess refcoco --ann-path ... --save-path ...
+  8. Dataset checks:
        python -m callireader_tpu check-custom-dataset ./my_e_it.py --data ...
        python -m callireader_tpu log-dataset --data ...
 """
@@ -92,6 +95,10 @@ def main(argv=None):
         return m.main(rest)
     if mode == "convert":
         from callireader_tpu.cli import convert as m
+
+        return m.main(rest)
+    if mode == "preprocess":
+        from callireader_tpu.cli import preprocess as m
 
         return m.main(rest)
     if mode == "judge":

@@ -257,3 +257,37 @@ def test_train_config_recipe_defaults(tmp_path, monkeypatch):
     p = copy_config("sft_internlm2_7b", str(tmp_path))
     r2 = _load_recipe(p)
     assert r2["lora_rank"] == 64
+
+
+# --------------------------------------------------------------- preprocess
+
+
+def test_preprocess_arxiv_and_refcoco(tmp_path):
+    from callireader_tpu.cli import preprocess
+
+    src = tmp_path / "arxiv.jsonl"
+    src.write_text("\n".join([
+        json.dumps({"categories": "cs.CL stat.ML", "update_date": "2021-05-01", "title": "keep"}),
+        json.dumps({"categories": "math.CO", "update_date": "2021-05-01", "title": "drop-cat"}),
+        json.dumps({"categories": "cs.CL", "update_date": "2019-01-01", "title": "drop-date"}),
+    ]))
+    dst = tmp_path / "filtered.json"
+    n = preprocess.preprocess_arxiv(str(src), str(dst), ["cs.CL"], "2020-01-01")
+    assert n == 1
+    assert json.loads(dst.read_text())[0]["title"] == "keep"
+
+    ann = tmp_path / "refs.json"
+    ann.write_text(json.dumps([
+        {"sents": "the cat", "bbox": [10, 20, 30, 40], "height": 100, "width": 100,
+         "image": "img/1.jpg"},
+    ]))
+    out = tmp_path / "conv.json"
+    n = preprocess.preprocess_refcoco(str(ann), str(out))
+    assert n == 1
+    conv = json.loads(out.read_text())[0]["conversations"]
+    assert conv[1]["value"] == "{<10><20><40><60>}"
+
+    out2 = tmp_path / "conv_inv.json"
+    preprocess.preprocess_refcoco(str(ann), str(out2), inv=True)
+    conv2 = json.loads(out2.read_text())[0]["conversations"]
+    assert conv2[1]["value"] == "the cat"
