@@ -113,8 +113,15 @@ def flash_attention_packed_qkv(
             return min(limit, max(size, 16))
         return min(cands, key=lambda c: (-(-size // c) * c, -c))
 
-    block_q = best_block(block_q, S)
-    block_k = best_block(block_k, S)
+    # explicit multiples of 128 above the tuning list are honored as-is
+    # (e.g. block_k covering the whole padded row -> nk=1, no online-softmax
+    # carry and a deep pv contraction)
+    if block_q % 128 or block_q > max(S, 128):
+        block_q = best_block(block_q, S)
+    if block_k % 128 or block_k > -(-S // 128) * 128:
+        block_k = best_block(block_k, S)
+    else:
+        block_k = min(block_k, -(-S // 128) * 128)
     Sp = S
     Sp = -(-Sp // block_q) * block_q
     Sp = -(-Sp // block_k) * block_k

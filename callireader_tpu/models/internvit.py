@@ -164,7 +164,13 @@ def forward(
         h = layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps, policy)
         qkv = h @ p["qkv_kernel"].astype(h.dtype) + p["qkv_bias"].astype(h.dtype)
         if use_flash:
-            # packed-QKV kernel: consumes (B, S, 3E) directly, zero transposes
+            # packed-QKV kernel: consumes (B, S, 3E) directly, zero transposes.
+            # Fused-loop A/B inside the full 12-layer ViT on v5e (64 tiles):
+            # packed kernel 322ms vs chunked-einsum 439ms vs full-einsum
+            # 624ms. (An attention-only microbench that consumes one output
+            # row says the opposite — XLA dead-code-eliminates the unused
+            # einsum rows while a pallas_call is opaque; never trust
+            # sliced-output microbenchmarks.)
             from callireader_tpu.kernels.packed_qkv_attention import (
                 flash_attention_packed_qkv,
             )
