@@ -23,6 +23,7 @@ def build_engine(
     adapter_path: Optional[str] = None,
     lora_rank: int = 128,
     lora_alpha: float = 256.0,
+    gray_chars: bool = False,
 ) -> CalliReaderEngine:
     import jax
     import jax.numpy as jnp
@@ -93,4 +94,4 @@ def build_engine(
     elif quant:
         raise ValueError(f"unknown quant mode {quant!r}")
 
-    return CalliReaderEngine(cfg, params, tok)
+    return CalliReaderEngine(cfg, params, tok, gray_chars=gray_chars)

@@ -38,6 +38,8 @@ def main(argv=None):
     parser.add_argument("--random-init", action="store_true")
     parser.add_argument("--quant", type=str, default=None, choices=[None, "int8"])
     parser.add_argument("--repetition-penalty", type=float, default=1.0)
+    parser.add_argument("--gray-chars", action="store_true",
+                        help="single-channel char-canvas transfers (3x fewer bytes)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -52,6 +54,7 @@ def main(argv=None):
     engine = build_engine(
         preset=args.preset, checkpoint_dir=args.checkpoint,
         random_init_ok=args.random_init, quant=args.quant,
+        gray_chars=args.gray_chars,
     )
     cfg = engine.cfg
     sep = get_conv_template(cfg.template).sep

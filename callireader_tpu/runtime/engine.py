@@ -81,11 +81,18 @@ class CalliReaderEngine:
         *,
         policy: DTypePolicy = DEFAULT_POLICY,
         use_flash: Optional[bool] = None,
+        gray_chars: bool = False,
     ):
         self.cfg = cfg
         self.params = params
         self.tok = tokenizer
         self.policy = policy
+        # opt-in: ship char content canvases as single-channel luma (PIL "L"
+        # weights) and broadcast to RGB on device — 3x fewer host-link bytes.
+        # Off by default: grayscale is NOT bit-identical to the reference's
+        # RGB crops (calligraphy is near-gray, so accuracy impact is small,
+        # but parity-sensitive evals should leave this off).
+        self.gray_chars = gray_chars
         self.use_flash = (
             use_flash if use_flash is not None else jax.devices()[0].platform == "tpu"
         )
@@ -113,17 +120,19 @@ class CalliReaderEngine:
         return projector.extract_feature(params["projector"], hidden, self.cfg, policy=self.policy)
 
     def _vision_encode_chars_impl(self, params, content_uint8):
-        """(N, canvas, canvas, 3) uint8 char content -> features. The white
+        """(N, canvas, canvas, 3) uint8 char content — or (N, canvas, canvas)
+        single-channel luma when gray_chars — -> features. The white
         448-canvas margin is constant, so it is synthesized on-device instead
         of shipped over the host link (vision/preprocess.load_char_content)."""
         size = self.cfg.force_image_size
         canvas = content_uint8.shape[1]
         pad = (size - canvas) // 2
-        x = jnp.pad(
-            content_uint8,
-            ((0, 0), (pad, size - canvas - pad), (pad, size - canvas - pad), (0, 0)),
-            constant_values=255,
-        )
+        spatial = ((0, 0), (pad, size - canvas - pad), (pad, size - canvas - pad))
+        if content_uint8.ndim == 3:  # gray: broadcast to RGB on device
+            x = jnp.pad(content_uint8, spatial, constant_values=255)
+            x = jnp.broadcast_to(x[..., None], (*x.shape, 3))
+        else:
+            x = jnp.pad(content_uint8, (*spatial, (0, 0)), constant_values=255)
         return self._vision_encode_impl(params, x)
 
     def _resample_vq_impl(self, params, feats, hard_vq=False):
@@ -171,6 +180,11 @@ class CalliReaderEngine:
         """(N, canvas, canvas, 3) uint8 content boxes -> (N, tok, E) features.
         Chunked so chunk i+1's host->device transfer overlaps chunk i's ViT
         compute (async dispatch); the white margin is synthesized on-device."""
+        if self.gray_chars and contents.ndim == 4:
+            c = contents.astype(np.uint16)
+            contents = (
+                (c[..., 0] * 299 + c[..., 1] * 587 + c[..., 2] * 114) // 1000
+            ).astype(np.uint8)  # PIL convert("L") luma weights
         n = contents.shape[0]
         outs = []
         for i in range(0, n, chunk):

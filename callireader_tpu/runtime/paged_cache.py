@@ -93,6 +93,7 @@ class PagedBatcher:
 
         self._prefill_cache: Dict[int, Callable] = {}
         self._insert_page = jax.jit(self._insert_page_impl, donate_argnums=(1,))
+        self._insert_pages = jax.jit(self._insert_pages_impl, donate_argnums=(1,))
         self._decode = jax.jit(self._decode_impl)
 
     # ------------------------------------------------------------------
@@ -113,6 +114,15 @@ class PagedBatcher:
         return jax.lax.dynamic_update_slice(
             pool, src[:, None], (0, page_id, 0, 0, 0)
         )
+
+    def _insert_pages_impl(self, cache, pool, page_ids):
+        # cache (L, 1, Hkv, n*page, D) -> pool[:, page_ids[i]] for each of the
+        # n page-sized windows, in ONE dispatch (per-page dispatches cost one
+        # RPC each on a tunneled device)
+        L, _, Hkv, S, D = cache.shape
+        n = S // self.page
+        src = cache[:, 0].reshape(L, Hkv, n, self.page, D).transpose(0, 2, 1, 3, 4)
+        return pool.at[:, page_ids].set(src.astype(pool.dtype))
 
     def _decode_impl(self, params, ids, kpool, vpool, page_table, valid, write_page, write_off, positions):
         """One decode step over all slots; k/v for the new token are computed
@@ -212,12 +222,11 @@ class PagedBatcher:
             logits, cache = self._prefill_fn(bucket)(
                 self.params, jnp.asarray(embeds), jnp.asarray(mask)
             )
-            # scatter prompt pages into the pool
-            for i in range(bucket // self.page):
-                src_k = cache.k[:, 0, :, i * self.page : (i + 1) * self.page, :]
-                src_v = cache.v[:, 0, :, i * self.page : (i + 1) * self.page, :]
-                self.kpool = self._insert_page(src_k, self.kpool, jnp.asarray(pages[i]))
-                self.vpool = self._insert_page(src_v, self.vpool, jnp.asarray(pages[i]))
+            # scatter all prompt pages into the pool in one dispatch each
+            n_prompt = bucket // self.page
+            ids = jnp.asarray(pages[:n_prompt], jnp.int32)
+            self.kpool = self._insert_pages(cache.k, self.kpool, ids)
+            self.vpool = self._insert_pages(cache.v, self.vpool, ids)
             self.last_logits = self.last_logits.at[s].set(logits[0])
             self.slots[s] = _Slot(
                 req=req, pages=pages, start=bucket - S, length=bucket,

@@ -61,3 +61,36 @@ def test_batch_chat_ocr(engine):
 
 def test_find_coordinates():
     assert CalliReaderEngine.find_coordinates("区域 10 20 30 40") == [10, 20, 30, 40]
+
+
+def test_gray_chars_path():
+    """gray_chars=True ships luma canvases; features match the host-side
+    gray->RGB equivalent exactly."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from callireader_tpu.core.config import callireader_tiny
+    from callireader_tpu.core.dtypes import FP32_POLICY
+    from callireader_tpu.runtime.engine import CalliReaderEngine, init_all_params
+    from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer
+
+    cfg = callireader_tiny()
+    params = init_all_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
+    eng_rgb = CalliReaderEngine(cfg, params, tok, policy=FP32_POLICY, use_flash=False)
+    eng_gray = CalliReaderEngine(
+        cfg, params, tok, policy=FP32_POLICY, use_flash=False, gray_chars=True
+    )
+    rng = np.random.RandomState(0)
+    from callireader_tpu.vision import preprocess
+
+    c = preprocess.char_content_canvas(cfg.force_image_size)
+    chars = rng.randint(0, 255, (3, c, c, 3), np.uint8)
+    # expected: luma replicated to RGB through the normal path
+    lum = ((chars.astype(np.uint16)[..., 0] * 299
+            + chars.astype(np.uint16)[..., 1] * 587
+            + chars.astype(np.uint16)[..., 2] * 114) // 1000).astype(np.uint8)
+    expected = eng_rgb.encode_char_contents(np.repeat(lum[..., None], 3, axis=-1))
+    got = eng_gray.encode_char_contents(chars)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
