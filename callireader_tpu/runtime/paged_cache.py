@@ -49,7 +49,6 @@ class _Slot:
     pages: List[int]
     start: int      # first valid token offset inside the first page region
     length: int     # absolute token count written (incl. left pad region)
-    seen: np.ndarray
 
 
 class PagedBatcher:
@@ -91,6 +90,13 @@ class PagedBatcher:
         self.queue: List[Request] = []
         self.done: List[Request] = []
 
+        from callireader_tpu.runtime.serving import _pick_tokens
+
+        self.seen = jnp.zeros((num_slots, cfg.vocab_size), jnp.bool_)
+        self._pick = jax.jit(_pick_tokens, donate_argnums=(1,))
+        self._clear_seen = jax.jit(
+            lambda seen, slot: seen.at[slot].set(False), donate_argnums=(0,)
+        )
         self._prefill_cache: Dict[int, Callable] = {}
         self._insert_page = jax.jit(self._insert_page_impl, donate_argnums=(1,))
         self._insert_pages = jax.jit(self._insert_pages_impl, donate_argnums=(1,))
@@ -230,8 +236,8 @@ class PagedBatcher:
             self.last_logits = self.last_logits.at[s].set(logits[0])
             self.slots[s] = _Slot(
                 req=req, pages=pages, start=bucket - S, length=bucket,
-                seen=np.zeros(self.cfg.vocab_size, bool),
             )
+            self.seen = self._clear_seen(self.seen, s)
             req.tokens = []
 
     def step(self) -> int:
@@ -240,19 +246,16 @@ class PagedBatcher:
         if not active:
             return 0
 
-        logits = np.asarray(self.last_logits)
-        next_tokens = np.zeros(self.B, np.int32)
+        pens = np.ones(self.B, np.float32)
+        for s in active:
+            pens[s] = self.slots[s].req.repetition_penalty
+        toks_dev, self.seen = self._pick(self.last_logits, self.seen, jnp.asarray(pens))
+        next_tokens = np.asarray(toks_dev)  # B ids — the only per-step d2h
         for s in active:
             slot = self.slots[s]
             req = slot.req
-            lg = logits[s]
-            if req.repetition_penalty != 1.0:
-                pen = np.where(lg < 0, lg * req.repetition_penalty, lg / req.repetition_penalty)
-                lg = np.where(slot.seen, pen, lg)
-            tok = int(lg.argmax())
+            tok = int(next_tokens[s])
             req.tokens.append(tok)
-            slot.seen[tok] = True
-            next_tokens[s] = tok
             cap = len(slot.pages) * self.page
             if tok in req.eos_token_ids or len(req.tokens) >= req.max_new_tokens or (
                 slot.length + 1 >= cap

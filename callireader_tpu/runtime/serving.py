@@ -28,6 +28,15 @@ from callireader_tpu.models import internlm2
 from callireader_tpu.runtime import generate as gen
 
 
+def _pick_tokens(logits, seen, pens):
+    """HF repetition-penalty + greedy argmax for every slot, on device."""
+    pen = jnp.where(logits < 0, logits * pens[:, None], logits / pens[:, None])
+    lg = jnp.where(seen, pen, logits)
+    toks = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    seen = seen.at[jnp.arange(seen.shape[0]), toks].set(True)
+    return toks, seen
+
+
 @dataclasses.dataclass
 class Request:
     uid: int
@@ -66,7 +75,10 @@ class ContinuousBatcher:
         self.lengths = np.zeros(num_slots, np.int64)
         self.starts = np.zeros(num_slots, np.int64)
         self.slot_req: List[Optional[Request]] = [None] * num_slots
-        self.slot_seen: List[Optional[np.ndarray]] = [None] * num_slots
+        # seen-token mask lives on device: the per-step host transfer is then
+        # B token ids instead of (B, vocab) logits (~3MB/step over a remote
+        # link — it dominated the step loop)
+        self.seen = jnp.zeros((num_slots, cfg.vocab_size), jnp.bool_)
         self.last_logits = jnp.zeros((num_slots, cfg.vocab_size), jnp.float32)
         self.queue: List[Request] = []
         self.done: List[Request] = []
@@ -79,6 +91,10 @@ class ContinuousBatcher:
             )
         )
         self._insert = jax.jit(self._insert_impl, donate_argnums=(1, 2))
+        self._pick = jax.jit(_pick_tokens, donate_argnums=(1,))
+        self._clear_seen = jax.jit(
+            lambda seen, slot: seen.at[slot].set(False), donate_argnums=(0,)
+        )
         self._prefill_cache: Dict[int, Callable] = {}
 
     # ------------------------------------------------------------------
@@ -127,7 +143,7 @@ class ContinuousBatcher:
             self.lengths[slot] = bucket  # left-padded rows occupy [0, bucket)
             self.starts[slot] = bucket - S
             self.slot_req[slot] = req
-            self.slot_seen[slot] = np.zeros(self.cfg.vocab_size, bool)
+            self.seen = self._clear_seen(self.seen, slot)
             req.tokens = []
 
     def step(self) -> int:
@@ -138,24 +154,20 @@ class ContinuousBatcher:
         if not active:
             return 0
 
-        logits = np.asarray(self.last_logits)
-        next_tokens = np.zeros(self.B, np.int32)
+        pens = np.ones(self.B, np.float32)
+        for s in active:
+            pens[s] = self.slot_req[s].repetition_penalty
+        toks_dev, self.seen = self._pick(self.last_logits, self.seen, jnp.asarray(pens))
+        next_tokens = np.asarray(toks_dev)  # B ids — the only per-step d2h
         for s in active:
             req = self.slot_req[s]
-            lg = logits[s]
-            if req.repetition_penalty != 1.0:
-                pen = np.where(lg < 0, lg * req.repetition_penalty, lg / req.repetition_penalty)
-                lg = np.where(self.slot_seen[s], pen, lg)
-            tok = int(lg.argmax())
+            tok = int(next_tokens[s])
             req.tokens.append(tok)
-            self.slot_seen[s][tok] = True
-            next_tokens[s] = tok
             if tok in req.eos_token_ids or len(req.tokens) >= req.max_new_tokens or (
                 self.lengths[s] + 1 >= self.max_len
             ):
                 self.done.append(req)
                 self.slot_req[s] = None
-                self.slot_seen[s] = None
 
         still = [s for s in range(self.B) if self.slot_req[s] is not None]
         if still:
