@@ -40,6 +40,10 @@ def main(argv=None):
     parser.add_argument("--repetition-penalty", type=float, default=1.0)
     parser.add_argument("--gray-chars", action="store_true",
                         help="single-channel char-canvas transfers (3x fewer bytes)")
+    parser.add_argument("--steps-per-sync", type=int, default=1,
+                        help="decode steps per host round trip (contiguous "
+                        "batcher): amortizes dispatch latency, costs up to "
+                        "k-1 throwaway steps per retiring request")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -75,6 +79,7 @@ def main(argv=None):
         batcher = ContinuousBatcher(
             engine.params["llm"], cfg.llm, num_slots=args.slots, max_len=args.max_len,
             policy=engine.policy, use_flash=engine.use_flash,
+            steps_per_sync=args.steps_per_sync,
         )
 
     requests = [json.loads(l) for l in open(args.input, encoding="utf-8") if l.strip()]

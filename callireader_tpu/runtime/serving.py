@@ -59,11 +59,17 @@ class ContinuousBatcher:
         policy: DTypePolicy = DEFAULT_POLICY,
         use_flash: Optional[bool] = None,
         cache_dtype=jnp.bfloat16,
+        steps_per_sync: int = 1,
     ):
         self.params = llm_params
         self.cfg = cfg
         self.B = num_slots
         self.max_len = max_len
+        # >1: run K decode steps per host tick in one on-device scan — the
+        # host sees K*B token ids per round trip instead of B, amortizing the
+        # dispatch/transfer latency K-fold. Costs up to K-1 throwaway steps
+        # per retiring request and delays admission by up to K steps.
+        self.steps_per_sync = max(1, steps_per_sync)
         self.policy = policy
         self.use_flash = use_flash
         shape = (
@@ -82,6 +88,7 @@ class ContinuousBatcher:
         self.last_logits = jnp.zeros((num_slots, cfg.vocab_size), jnp.float32)
         self.queue: List[Request] = []
         self.done: List[Request] = []
+        self._pending: List[Optional[int]] = [None] * num_slots
 
         self._decode = jax.jit(
             lambda p, ids, ck, cv, lengths, active, starts: internlm2.decode_step_multislot(
@@ -92,6 +99,8 @@ class ContinuousBatcher:
         )
         self._insert = jax.jit(self._insert_impl, donate_argnums=(1, 2))
         self._pick = jax.jit(_pick_tokens, donate_argnums=(1,))
+        self._decode_k = jax.jit(self._decode_k_impl, donate_argnums=(2, 3, 7),
+                                 static_argnums=(8,))
         self._clear_seen = jax.jit(
             lambda seen, slot: seen.at[slot].set(False), donate_argnums=(0,)
         )
@@ -109,6 +118,26 @@ class ContinuousBatcher:
                 )
             )
         return self._prefill_cache[bucket]
+
+    def _decode_k_impl(self, params, first_tokens, ck, cv, lengths, active,
+                       starts, seen, k, pens):
+        """K fused decode+pick steps; returns the K-1 follow-on tokens after
+        ``first_tokens`` plus the final-step picks (K*B ids total per sync)."""
+        def body(carry, _):
+            toks, ck, cv, lengths, seen = carry
+            logits, ck, cv = internlm2.decode_step_multislot(
+                params, self.cfg, input_ids=toks[:, None], cache_k=ck,
+                cache_v=cv, lengths=lengths, active=active, starts=starts,
+                policy=self.policy, use_flash=self.use_flash,
+            )
+            new_toks, seen = _pick_tokens(logits, seen, pens)
+            lengths = lengths + active.astype(lengths.dtype)
+            return (new_toks, ck, cv, lengths, seen), new_toks
+
+        (_, ck, cv, lengths, seen), toks = jax.lax.scan(
+            body, (first_tokens, ck, cv, lengths, seen), None, length=k
+        )
+        return toks, ck, cv, seen
 
     def _insert_impl(self, src_kv, cache_k, cache_v, slot):
         # src holds only the prompt-bucket prefix — copying the full max_len
@@ -145,6 +174,17 @@ class ContinuousBatcher:
             self.slot_req[slot] = req
             self.seen = self._clear_seen(self.seen, slot)
             req.tokens = []
+            if self.steps_per_sync > 1:
+                # windowed mode keeps per-slot pending input tokens instead of
+                # a shared last_logits pick; seed with the prefill's argmax
+                tok = int(np.asarray(jnp.argmax(logits[0])))
+                req.tokens.append(tok)
+                self.seen = self.seen.at[slot, tok].set(True)
+                if tok in req.eos_token_ids or req.max_new_tokens <= 1:
+                    self.done.append(req)
+                    self.slot_req[slot] = None
+                else:
+                    self._pending[slot] = tok
 
     def step(self) -> int:
         """One scheduler tick: fill slots, sample every active slot's next
@@ -153,6 +193,9 @@ class ContinuousBatcher:
         active = [s for s in range(self.B) if self.slot_req[s] is not None]
         if not active:
             return 0
+
+        if self.steps_per_sync > 1:
+            return self._step_windowed(active)
 
         pens = np.ones(self.B, np.float32)
         for s in active:
@@ -170,20 +213,65 @@ class ContinuousBatcher:
                 self.slot_req[s] = None
 
         still = [s for s in range(self.B) if self.slot_req[s] is not None]
-        if still:
-            active_mask = np.zeros(self.B, bool)
-            active_mask[still] = True
-            logits_new, self.cache_k, self.cache_v = self._decode(
-                self.params, jnp.asarray(next_tokens[:, None]),
-                self.cache_k, self.cache_v,
-                jnp.asarray(self.lengths.astype(np.int32)),
-                jnp.asarray(active_mask),
-                jnp.asarray(self.starts.astype(np.int32)),
-            )
-            self.last_logits = logits_new
-            for s in still:
-                self.lengths[s] += 1
+        if not still:
+            return 0
+        active_mask = np.zeros(self.B, bool)
+        active_mask[still] = True
+        logits_new, self.cache_k, self.cache_v = self._decode(
+            self.params, jnp.asarray(next_tokens[:, None]),
+            self.cache_k, self.cache_v,
+            jnp.asarray(self.lengths.astype(np.int32)),
+            jnp.asarray(active_mask),
+            jnp.asarray(self.starts.astype(np.int32)),
+        )
+        self.last_logits = logits_new
+        for s in still:
+            self.lengths[s] += 1
         return len(still)
+
+    def _step_windowed(self, active: List[int]) -> int:
+        """steps_per_sync decode+pick steps in one device scan. Each slot's
+        pending token feeds the window; every picked token is a real generated
+        token (appended exactly once, fed as the next input exactly once).
+        One (k, B)-id d2h per k steps instead of k round trips."""
+        k = self.steps_per_sync
+        next_tokens = np.zeros(self.B, np.int32)
+        pens = np.ones(self.B, np.float32)
+        for s in active:
+            next_tokens[s] = self._pending[s]
+            pens[s] = self.slot_req[s].repetition_penalty
+        active_mask = np.zeros(self.B, bool)
+        active_mask[active] = True
+        window, self.cache_k, self.cache_v, self.seen = self._decode_k(
+            self.params, jnp.asarray(next_tokens),
+            self.cache_k, self.cache_v,
+            jnp.asarray(self.lengths.astype(np.int32)),
+            jnp.asarray(active_mask),
+            jnp.asarray(self.starts.astype(np.int32)),
+            self.seen, k, jnp.asarray(pens),
+        )
+        window = np.asarray(window)  # (k, B)
+        for s in active:
+            req = self.slot_req[s]
+            retired = False
+            for j in range(k):
+                tok = int(window[j, s])
+                self.lengths[s] += 1
+                if retired:
+                    continue
+                req.tokens.append(tok)
+                if (
+                    tok in req.eos_token_ids
+                    or len(req.tokens) >= req.max_new_tokens
+                    or self.lengths[s] + k >= self.max_len
+                ):
+                    self.done.append(req)
+                    self.slot_req[s] = None
+                    self._pending[s] = None
+                    retired = True
+            if not retired:
+                self._pending[s] = int(window[k - 1, s])
+        return len([s for s in range(self.B) if self.slot_req[s] is not None])
 
     def run(self) -> List[Request]:
         """Drain queue + slots to completion; returns finished requests."""

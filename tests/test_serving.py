@@ -86,3 +86,32 @@ def test_repetition_penalty_parity():
     )
     done = batcher.run()
     assert done[0].tokens == _reference_tokens(params, ids, 6, rep=1.5)
+
+
+def test_windowed_matches_single_step():
+    """steps_per_sync>1 produces identical greedy tokens to the 1-step path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from callireader_tpu.core.config import callireader_tiny
+    from callireader_tpu.core.dtypes import FP32_POLICY
+    from callireader_tpu.models import internlm2
+    from callireader_tpu.runtime.serving import ContinuousBatcher, Request
+
+    cfg = callireader_tiny().llm
+    params = internlm2.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    prompts = [[1, 5, 9, 3], [1, 7, 11], [1, 42, 17, 23, 8]]
+
+    def run(k):
+        b = ContinuousBatcher(
+            params, cfg, num_slots=2, max_len=256, policy=FP32_POLICY,
+            use_flash=False, cache_dtype=jnp.float32, steps_per_sync=k,
+        )
+        for uid, ids in enumerate(prompts):
+            e = np.asarray(internlm2.embed_tokens(params, jnp.asarray([ids]), jnp.float32))[0]
+            b.submit(Request(uid, e, max_new_tokens=7, eos_token_ids=(-1,),
+                             repetition_penalty=1.3))
+        return {r.uid: r.tokens for r in b.run()}
+
+    assert run(1) == run(4)
