@@ -41,9 +41,9 @@ def main(argv=None):
     parser.add_argument("--gray-chars", action="store_true",
                         help="single-channel char-canvas transfers (3x fewer bytes)")
     parser.add_argument("--steps-per-sync", type=int, default=1,
-                        help="decode steps per host round trip (contiguous "
-                        "batcher): amortizes dispatch latency, costs up to "
-                        "k-1 throwaway steps per retiring request")
+                        help="decode steps per host round trip: amortizes "
+                        "dispatch latency, costs up to k-1 throwaway steps "
+                        "per retiring request")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -74,6 +74,7 @@ def main(argv=None):
             num_pages=num_pages, page_size=args.page_size,
             max_pages_per_slot=pages_per_slot,
             policy=engine.policy, use_flash=engine.use_flash,
+            steps_per_sync=args.steps_per_sync,
         )
     else:
         batcher = ContinuousBatcher(

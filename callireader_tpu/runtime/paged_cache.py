@@ -72,6 +72,7 @@ class PagedBatcher:
         use_flash: Optional[bool] = None,
         cache_dtype=jnp.bfloat16,
         interpret: bool = False,
+        steps_per_sync: int = 1,
     ):
         self.params = llm_params
         self.cfg = cfg
@@ -81,6 +82,14 @@ class PagedBatcher:
         self.policy = policy
         self.use_flash = use_flash
         self.interpret = interpret
+        # >1: k decode+pick steps per host tick in one on-device scan (valid
+        # windows / write targets derived on device from lengths+page_table)
+        self.steps_per_sync = max(1, steps_per_sync)
+        # first window after admit writes at bucket..bucket+k-1; the page
+        # rounding of the prompt bucket guarantees >= page_size headroom
+        assert self.steps_per_sync <= page_size, "steps_per_sync must be <= page_size"
+
+        self._pending: List[Optional[int]] = [None] * num_slots
         L, Hkv, D = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
         self.kpool = jnp.zeros((L, num_pages, Hkv, page_size, D), cache_dtype)
         self.vpool = jnp.zeros((L, num_pages, Hkv, page_size, D), cache_dtype)
@@ -101,6 +110,8 @@ class PagedBatcher:
         self._insert_page = jax.jit(self._insert_page_impl, donate_argnums=(1,))
         self._insert_pages = jax.jit(self._insert_pages_impl, donate_argnums=(1,))
         self._decode = jax.jit(self._decode_impl)
+        self._decode_k = jax.jit(self._decode_k_impl, donate_argnums=(2, 3, 7),
+                                 static_argnums=(8,))
 
     # ------------------------------------------------------------------
 
@@ -182,6 +193,38 @@ class PagedBatcher:
         logits = internlm2._logits(params, x, policy)[:, 0]
         return logits, kpool, vpool
 
+    def _derive_step_arrays(self, page_table, lengths, starts):
+        """(B,) lengths/starts -> (valid (B,P,page), write_page, write_off,
+        positions) — the host bookkeeping, computed on device."""
+        flat = jnp.arange(self.P * self.page, dtype=jnp.int32)[None, :]
+        valid = (
+            (flat >= starts[:, None]) & (flat < (lengths + 1)[:, None])
+        ).astype(jnp.int32).reshape(-1, self.P, self.page)
+        page_idx = (lengths // self.page).astype(jnp.int32)
+        write_page = jnp.take_along_axis(page_table, page_idx[:, None], axis=1)[:, 0]
+        write_off = (lengths % self.page).astype(jnp.int32)
+        positions = (lengths - starts).astype(jnp.int32)[:, None]
+        return valid, write_page, write_off, positions
+
+    def _decode_k_impl(self, params, first_tokens, kpool, vpool, page_table,
+                       lengths, starts, seen, k, pens, active):
+        from callireader_tpu.runtime.serving import _pick_tokens
+
+        def body(carry, _):
+            toks, kpool, vpool, lengths, seen = carry
+            valid, wp, wo, pos = self._derive_step_arrays(page_table, lengths, starts)
+            logits, kpool, vpool = self._decode_impl(
+                params, toks[:, None], kpool, vpool, page_table, valid, wp, wo, pos
+            )
+            new_toks, seen = _pick_tokens(logits, seen, pens)
+            lengths = lengths + active.astype(lengths.dtype)
+            return (new_toks, kpool, vpool, lengths, seen), new_toks
+
+        (_, kpool, vpool, _, seen), toks = jax.lax.scan(
+            body, (first_tokens, kpool, vpool, lengths, seen), None, length=k
+        )
+        return toks, kpool, vpool, seen
+
     def _xla_paged_attention(self, q, kpool, vpool, idx, page_table, valid):
         """Fallback paged attention (gathers pages; used off-TPU)."""
         B = q.shape[0]
@@ -239,12 +282,24 @@ class PagedBatcher:
             )
             self.seen = self._clear_seen(self.seen, s)
             req.tokens = []
+            if self.steps_per_sync > 1:
+                tok = int(np.asarray(jnp.argmax(logits[0])))
+                req.tokens.append(tok)
+                self.seen = self.seen.at[s, tok].set(True)
+                if tok in req.eos_token_ids or req.max_new_tokens <= 1:
+                    self.done.append(req)
+                    self.pool.release(pages)
+                    self.slots[s] = None
+                else:
+                    self._pending[s] = tok
 
     def step(self) -> int:
         self._admit()
         active = [s for s in range(self.B) if self.slots[s] is not None]
         if not active:
             return 0
+        if self.steps_per_sync > 1:
+            return self._step_windowed(active)
 
         pens = np.ones(self.B, np.float32)
         for s in active:
@@ -295,6 +350,53 @@ class PagedBatcher:
             for s in still:
                 self.slots[s].length += 1
         return len(still)
+
+    def _step_windowed(self, active: List[int]) -> int:
+        k = self.steps_per_sync
+        next_tokens = np.zeros(self.B, np.int32)
+        pens = np.ones(self.B, np.float32)
+        page_table = np.zeros((self.B, self.P), np.int32)
+        lengths = np.zeros(self.B, np.int32)
+        starts = np.zeros(self.B, np.int32)
+        active_mask = np.zeros(self.B, bool)
+        for s in active:
+            slot = self.slots[s]
+            next_tokens[s] = self._pending[s]
+            pens[s] = slot.req.repetition_penalty
+            page_table[s, : len(slot.pages)] = slot.pages
+            lengths[s] = slot.length
+            starts[s] = slot.start
+            active_mask[s] = True
+        window, self.kpool, self.vpool, self.seen = self._decode_k(
+            self.params, jnp.asarray(next_tokens), self.kpool, self.vpool,
+            jnp.asarray(page_table), jnp.asarray(lengths), jnp.asarray(starts),
+            self.seen, k, jnp.asarray(pens), jnp.asarray(active_mask),
+        )
+        window = np.asarray(window)  # (k, B) — ONE d2h per k steps
+        for s in active:
+            slot = self.slots[s]
+            req = slot.req
+            cap = len(slot.pages) * self.page
+            retired = False
+            for j in range(k):
+                tok = int(window[j, s])
+                slot.length += 1
+                if retired:
+                    continue
+                req.tokens.append(tok)
+                if (
+                    tok in req.eos_token_ids
+                    or len(req.tokens) >= req.max_new_tokens
+                    or slot.length + k >= cap
+                ):
+                    self.done.append(req)
+                    self.pool.release(slot.pages)
+                    self.slots[s] = None
+                    self._pending[s] = None
+                    retired = True
+            if not retired:
+                self._pending[s] = int(window[k - 1, s])
+        return len([s for s in range(self.B) if self.slots[s] is not None])
 
     def run(self) -> List[Request]:
         while self.queue or any(s is not None for s in self.slots):

@@ -87,3 +87,23 @@ def test_paged_batcher_matches_reference_tokens():
         assert by_uid[uid] == expected, (uid, by_uid[uid], expected)
     # all pages returned
     assert len(batcher.pool.free) == 31
+
+
+def test_paged_windowed_matches_single_step():
+    params = internlm2.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+
+    def run(k):
+        b = PagedBatcher(
+            params, CFG, num_slots=2, num_pages=32, page_size=64,
+            max_pages_per_slot=4, policy=FP32_POLICY, use_flash=False,
+            cache_dtype=jnp.float32, steps_per_sync=k,
+        )
+        for uid, ids in enumerate([[1, 5, 9, 3], [1, 7, 11], [1, 42, 17, 23, 8]]):
+            b.submit(Request(uid, _embeds(params, np.asarray(ids)[None])[0],
+                             max_new_tokens=7, eos_token_ids=(-1,),
+                             repetition_penalty=1.3))
+        done = b.run()
+        assert len(b.pool.free) == 31  # all pages returned
+        return {r.uid: r.tokens for r in done}
+
+    assert run(1) == run(4)
