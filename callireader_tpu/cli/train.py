@@ -146,6 +146,18 @@ def main(argv=None):
     if args.resume:
         state = ckpt_mod.restore_train_state(args.resume, state)
         state = e_it.replicate_scalars(state, mesh)
+        # seed restoration from the checkpoint metadata so the data shuffle
+        # continues the same stream (tools/train.py:219-244 behavior)
+        meta_path = os.path.join(args.resume, "metadata.json")
+        if os.path.exists(meta_path):
+            import json as _json
+
+            with open(meta_path) as f:
+                saved = _json.load(f)
+            if "seed" in saved and saved["seed"] != args.seed:
+                print(f"[train] seed restored from checkpoint: {saved['seed']}",
+                      file=sys.stderr)
+                args.seed = int(saved["seed"])
         print(f"[train] resumed from {args.resume} at step {int(state.step)}", file=sys.stderr)
 
     step_fn = jax.jit(e_it.make_train_step(cfg, train_cfg, tx), donate_argnums=(0,))

@@ -508,3 +508,20 @@ def decode_step(
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
     logits = _logits(params, x, policy)[:, 0]
     return logits, KVCache(k=ck, v=cv, length=cache.length + 1)
+
+
+def prepare_long_context(cfg: LLMConfig, max_length: int) -> LLMConfig:
+    """Enlarge the usable context with linear RoPE scaling, the
+    `_prepare_for_long_context_training` recipe (train/xtuner/model/sft.py:
+    161-184, reward.py:186): factor = ceil(max_length / max_position_embeddings),
+    applied only when the target exceeds the native window."""
+    import dataclasses as _dc
+    import math as _math
+
+    if max_length <= cfg.max_position_embeddings:
+        return cfg
+    factor = float(_math.ceil(max_length / cfg.max_position_embeddings))
+    return _dc.replace(
+        cfg, rope_scaling_type="linear", rope_scaling_factor=factor,
+        max_position_embeddings=max_length,
+    )
