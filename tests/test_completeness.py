@@ -291,3 +291,15 @@ def test_preprocess_arxiv_and_refcoco(tmp_path):
     preprocess.preprocess_refcoco(str(ann), str(out2), inv=True)
     conv2 = json.loads(out2.read_text())[0]["conversations"]
     assert conv2[1]["value"] == "the cat"
+
+
+def test_prepare_long_context():
+    from callireader_tpu.models.internlm2 import prepare_long_context
+
+    cfg = CFG.llm
+    big = prepare_long_context(cfg, cfg.max_position_embeddings * 3)
+    assert big.rope_scaling_type == "linear"
+    assert big.rope_scaling_factor == 3.0
+    assert big.max_position_embeddings == cfg.max_position_embeddings * 3
+    # no-op inside the native window
+    assert prepare_long_context(cfg, 4).rope_scaling_type == cfg.rope_scaling_type

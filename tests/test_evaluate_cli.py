@@ -78,3 +78,30 @@ def test_evaluate_cli_choice(tmp_path, monkeypatch):
     )
     out = json.load(open(tmp_path / "outputs" / "exp" / "author.json"))
     assert out["summary"]["total_samples"] == 1
+
+
+def test_refcoco_engine_eval(tmp_path):
+    """evaluate_refcoco drives the engine end-to-end (random weights: the
+    metric is 0/any, the path must not crash)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from PIL import Image
+
+    from callireader_tpu.core.config import callireader_tiny
+    from callireader_tpu.core.dtypes import FP32_POLICY
+    from callireader_tpu.evalx.refcoco import evaluate_refcoco
+    from callireader_tpu.runtime.engine import CalliReaderEngine, init_all_params
+    from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer
+
+    cfg = callireader_tiny()
+    params = init_all_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
+    eng = CalliReaderEngine(cfg, params, tok, policy=FP32_POLICY, use_flash=False)
+    img = Image.fromarray(np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8))
+    out = evaluate_refcoco(
+        eng, [{"image": img, "sents": "the seal", "bbox": [5, 5, 20, 20],
+               "height": 64, "width": 64}], max_new_tokens=3,
+    )
+    assert 0.0 <= out["accuracy"] <= 1.0
+    assert len(out["detailed"]) == 1 and "ans" in out["detailed"][0]
