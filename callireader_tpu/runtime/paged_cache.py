@@ -283,15 +283,9 @@ class PagedBatcher:
             self.seen = self._clear_seen(self.seen, s)
             req.tokens = []
             if self.steps_per_sync > 1:
-                tok = int(np.asarray(jnp.argmax(logits[0])))
-                req.tokens.append(tok)
-                self.seen = self.seen.at[s, tok].set(True)
-                if tok in req.eos_token_ids or req.max_new_tokens <= 1:
-                    self.done.append(req)
-                    self.pool.release(pages)
-                    self.slots[s] = None
-                else:
-                    self._pending[s] = tok
+                # keep the seed pick as a device ref so back-to-back admits
+                # pipeline their prefills; resolved in _step_windowed
+                self._pending[s] = jnp.argmax(logits[0])
 
     def step(self) -> int:
         self._admit()
@@ -353,6 +347,24 @@ class PagedBatcher:
 
     def _step_windowed(self, active: List[int]) -> int:
         k = self.steps_per_sync
+        fresh = [s for s in active if not isinstance(self._pending[s], int)]
+        if fresh:
+            seeds = [int(v) for v in np.asarray(jnp.stack([self._pending[s] for s in fresh]))]
+            for s, tok in zip(fresh, seeds):
+                slot = self.slots[s]
+                req = slot.req
+                req.tokens.append(tok)
+                self.seen = self.seen.at[s, tok].set(True)
+                if tok in req.eos_token_ids or req.max_new_tokens <= 1:
+                    self.done.append(req)
+                    self.pool.release(slot.pages)
+                    self.slots[s] = None
+                    self._pending[s] = None
+                else:
+                    self._pending[s] = tok
+            active = [s for s in active if self.slots[s] is not None]
+            if not active:
+                return 0
         next_tokens = np.zeros(self.B, np.int32)
         pens = np.ones(self.B, np.float32)
         page_table = np.zeros((self.B, self.P), np.int32)

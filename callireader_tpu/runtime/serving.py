@@ -176,15 +176,10 @@ class ContinuousBatcher:
             req.tokens = []
             if self.steps_per_sync > 1:
                 # windowed mode keeps per-slot pending input tokens instead of
-                # a shared last_logits pick; seed with the prefill's argmax
-                tok = int(np.asarray(jnp.argmax(logits[0])))
-                req.tokens.append(tok)
-                self.seen = self.seen.at[slot, tok].set(True)
-                if tok in req.eos_token_ids or req.max_new_tokens <= 1:
-                    self.done.append(req)
-                    self.slot_req[slot] = None
-                else:
-                    self._pending[slot] = tok
+                # a shared last_logits pick; the argmax stays a device ref so
+                # consecutive admits pipeline their prefills (syncing here
+                # would serialize them)
+                self._pending[slot] = jnp.argmax(logits[0])
 
     def step(self) -> int:
         """One scheduler tick: fill slots, sample every active slot's next
@@ -235,6 +230,23 @@ class ContinuousBatcher:
         token (appended exactly once, fed as the next input exactly once).
         One (k, B)-id d2h per k steps instead of k round trips."""
         k = self.steps_per_sync
+        # resolve freshly admitted slots' seed tokens (one sync for all)
+        fresh = [s for s in active if not isinstance(self._pending[s], int)]
+        if fresh:
+            seeds = [int(v) for v in np.asarray(jnp.stack([self._pending[s] for s in fresh]))]
+            for s, tok in zip(fresh, seeds):
+                req = self.slot_req[s]
+                req.tokens.append(tok)
+                self.seen = self.seen.at[s, tok].set(True)
+                if tok in req.eos_token_ids or req.max_new_tokens <= 1:
+                    self.done.append(req)
+                    self.slot_req[s] = None
+                    self._pending[s] = None
+                else:
+                    self._pending[s] = tok
+            active = [s for s in active if self.slot_req[s] is not None]
+            if not active:
+                return 0
         next_tokens = np.zeros(self.B, np.int32)
         pens = np.ones(self.B, np.float32)
         for s in active:
