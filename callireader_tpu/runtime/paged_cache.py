@@ -249,43 +249,61 @@ class PagedBatcher:
         self.queue.append(req)
 
     def _admit(self) -> None:
-        for s in range(self.B):
-            if self.slots[s] is not None or not self.queue:
-                continue
+        # take as many queued requests as free slots + pages allow, grouped by
+        # prompt bucket: an n-row prefill amortizes the weight reads that
+        # dominate 1-row prefill
+        free_slots = [s for s in range(self.B) if self.slots[s] is None]
+        taken: List[Tuple[Request, int, List[int]]] = []  # (req, bucket, pages)
+        while free_slots[len(taken):] and self.queue:
             req = self.queue[0]
             S = req.embeds.shape[0]
             bucket = gen.bucket_length(max(S, self.page))
             bucket = -(-bucket // self.page) * self.page
-            n_pages = min(
-                self.P, -(-(bucket + req.max_new_tokens) // self.page)
-            )
+            n_pages = min(self.P, -(-(bucket + req.max_new_tokens) // self.page))
             if len(self.pool.free) < n_pages:
-                return  # backpressure: wait for pages
+                break  # backpressure: wait for pages
             self.queue.pop(0)
-            pages = self.pool.alloc(n_pages)
+            taken.append((req, bucket, self.pool.alloc(n_pages)))
+        if not taken:
+            return
 
-            embeds = np.zeros((1, bucket, req.embeds.shape[-1]), req.embeds.dtype)
-            embeds[0, bucket - S:] = req.embeds
-            mask = np.zeros((1, bucket), np.int32)
-            mask[0, bucket - S:] = 1
+        by_bucket: Dict[int, List[Tuple[Request, List[int]]]] = {}
+        for req, bucket, pages in taken:
+            by_bucket.setdefault(bucket, []).append((req, pages))
+        it = iter(free_slots)
+        for bucket, group in by_bucket.items():
+            # n <= num_slots jit variants per bucket, one-time compile cost
+            n = len(group)
+            E = group[0][0].embeds.shape[-1]
+            embeds = np.zeros((n, bucket, E), group[0][0].embeds.dtype)
+            mask = np.zeros((n, bucket), np.int32)
+            for i, (req, _pages) in enumerate(group):
+                S = req.embeds.shape[0]
+                embeds[i, bucket - S:] = req.embeds
+                mask[i, bucket - S:] = 1
             logits, cache = self._prefill_fn(bucket)(
                 self.params, jnp.asarray(embeds), jnp.asarray(mask)
             )
-            # scatter all prompt pages into the pool in one dispatch each
             n_prompt = bucket // self.page
-            ids = jnp.asarray(pages[:n_prompt], jnp.int32)
-            self.kpool = self._insert_pages(cache.k, self.kpool, ids)
-            self.vpool = self._insert_pages(cache.v, self.vpool, ids)
-            self.last_logits = self.last_logits.at[s].set(logits[0])
-            self.slots[s] = _Slot(
-                req=req, pages=pages, start=bucket - S, length=bucket,
-            )
-            self.seen = self._clear_seen(self.seen, s)
-            req.tokens = []
-            if self.steps_per_sync > 1:
-                # keep the seed pick as a device ref so back-to-back admits
-                # pipeline their prefills; resolved in _step_windowed
-                self._pending[s] = jnp.argmax(logits[0])
+            for i, (req, pages) in enumerate(group):
+                s = next(it)
+                ids = jnp.asarray(pages[:n_prompt], jnp.int32)
+                self.kpool = self._insert_pages(
+                    cache.k[:, i : i + 1], self.kpool, ids
+                )
+                self.vpool = self._insert_pages(
+                    cache.v[:, i : i + 1], self.vpool, ids
+                )
+                self.last_logits = self.last_logits.at[s].set(logits[i])
+                self.slots[s] = _Slot(
+                    req=req, pages=pages, start=bucket - req.embeds.shape[0],
+                    length=bucket,
+                )
+                self.seen = self._clear_seen(self.seen, s)
+                req.tokens = []
+                if self.steps_per_sync > 1:
+                    # device ref: admits pipeline; resolved in _step_windowed
+                    self._pending[s] = jnp.argmax(logits[i])
 
     def step(self) -> int:
         self._admit()

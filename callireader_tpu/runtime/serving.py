@@ -151,35 +151,49 @@ class ContinuousBatcher:
         self.queue.append(req)
 
     def _fill_free_slots(self) -> None:
-        for slot in range(self.B):
-            if self.slot_req[slot] is not None or not self.queue:
-                continue
-            req = self.queue.pop(0)
-            S = req.embeds.shape[0]
-            bucket = gen.bucket_length(S)
-            embeds = np.zeros((1, bucket, req.embeds.shape[-1]), req.embeds.dtype)
-            embeds[0, bucket - S:] = req.embeds
-            mask = np.zeros((1, bucket), np.int32)
-            mask[0, bucket - S:] = 1
+        free = [s for s in range(self.B) if self.slot_req[s] is None]
+        if not free or not self.queue:
+            return
+        # group the admissible requests by prompt bucket: a single n-row
+        # prefill amortizes the weight reads that dominate 1-row prefill
+        take = self.queue[: len(free)]
+        del self.queue[: len(take)]
+        by_bucket: Dict[int, List[Request]] = {}
+        for req in take:
+            by_bucket.setdefault(gen.bucket_length(req.embeds.shape[0]), []).append(req)
+        it = iter(free)
+        for bucket, reqs in by_bucket.items():
+            # jit caches one program per (bucket, n) shape; n <= num_slots
+            # and the persistent compilation cache makes each a one-time cost
+            n = len(reqs)
+            E = reqs[0].embeds.shape[-1]
+            embeds = np.zeros((n, bucket, E), reqs[0].embeds.dtype)
+            mask = np.zeros((n, bucket), np.int32)
+            for i, req in enumerate(reqs):
+                S = req.embeds.shape[0]
+                embeds[i, bucket - S:] = req.embeds
+                mask[i, bucket - S:] = 1
             logits, cache = self._prefill_fn(bucket)(
                 self.params, jnp.asarray(embeds), jnp.asarray(mask)
             )
-            self.cache_k, self.cache_v = self._insert(
-                (cache.k[:, :, :, :bucket, :], cache.v[:, :, :, :bucket, :]),
-                self.cache_k, self.cache_v, jnp.asarray(slot, jnp.int32),
-            )
-            self.last_logits = self.last_logits.at[slot].set(logits[0])
-            self.lengths[slot] = bucket  # left-padded rows occupy [0, bucket)
-            self.starts[slot] = bucket - S
-            self.slot_req[slot] = req
-            self.seen = self._clear_seen(self.seen, slot)
-            req.tokens = []
-            if self.steps_per_sync > 1:
-                # windowed mode keeps per-slot pending input tokens instead of
-                # a shared last_logits pick; the argmax stays a device ref so
-                # consecutive admits pipeline their prefills (syncing here
-                # would serialize them)
-                self._pending[slot] = jnp.argmax(logits[0])
+            for i, req in enumerate(reqs):
+                slot = next(it)
+                self.cache_k, self.cache_v = self._insert(
+                    (cache.k[:, i : i + 1, :, :bucket, :],
+                     cache.v[:, i : i + 1, :, :bucket, :]),
+                    self.cache_k, self.cache_v, jnp.asarray(slot, jnp.int32),
+                )
+                self.last_logits = self.last_logits.at[slot].set(logits[i])
+                self.lengths[slot] = bucket  # left-padded rows occupy [0, bucket)
+                self.starts[slot] = bucket - req.embeds.shape[0]
+                self.slot_req[slot] = req
+                self.seen = self._clear_seen(self.seen, slot)
+                req.tokens = []
+                if self.steps_per_sync > 1:
+                    # windowed mode keeps per-slot pending input tokens; the
+                    # argmax stays a device ref so admits pipeline their
+                    # prefills (resolved in one sync at the next window)
+                    self._pending[slot] = jnp.argmax(logits[i])
 
     def step(self) -> int:
         """One scheduler tick: fill slots, sample every active slot's next
