@@ -7,10 +7,14 @@ slots as they arrive and every active slot advances one token per device step,
 so short answers retire early and their slots are refilled without waiting for
 the longest request in a batch (the static-batching failure mode).
 
-Device programs (both jitted once per shape):
-  - single-row prefill (internlm2.prefill at the prompt bucket)
-  - multi-slot decode (internlm2.decode_step_multislot over the slot pool)
-Host keeps the queue/slot bookkeeping — O(slots) python per step.
+Device programs (jitted once per shape):
+  - multi-row prefill (internlm2.prefill at the prompt bucket; same-bucket
+    admissions share one call, amortizing weight reads)
+  - multi-slot decode (internlm2.decode_step_multislot over the slot pool),
+    optionally k steps per host tick (steps_per_sync)
+  - on-device token pick (repetition penalty + argmax + seen-mask)
+Host keeps the queue/slot bookkeeping — O(slots) python per tick, with B (or
+k*B) token ids as the only device->host traffic.
 """
 
 from __future__ import annotations

@@ -115,3 +115,53 @@ def test_windowed_matches_single_step():
         return {r.uid: r.tokens for r in b.run()}
 
     assert run(1) == run(4)
+
+
+def test_mixed_bucket_admissions():
+    """Prompts landing in different buckets admit correctly through the
+    grouped multi-row prefill, in both batchers and both sync modes."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from callireader_tpu.core.config import callireader_tiny
+    from callireader_tpu.core.dtypes import FP32_POLICY
+    from callireader_tpu.models import internlm2
+    from callireader_tpu.runtime.paged_cache import PagedBatcher
+    from callireader_tpu.runtime.serving import ContinuousBatcher, Request
+
+    cfg = callireader_tiny().llm
+    params = internlm2.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.RandomState(3)
+    prompts = [
+        [1, 5, 9],                                  # small bucket
+        list(rng.randint(10, 900, 150)),            # larger bucket
+        [1, 7, 11, 13],                             # small bucket again
+        list(rng.randint(10, 900, 140)),            # larger bucket again
+    ]
+
+    def run(make):
+        b = make()
+        for uid, ids in enumerate(prompts):
+            e = np.asarray(internlm2.embed_tokens(params, jnp.asarray([ids]), jnp.float32))[0]
+            b.submit(Request(uid, e, max_new_tokens=5, eos_token_ids=(-1,)))
+        done = b.run()
+        assert len(done) == 4
+        return {r.uid: r.tokens for r in done}
+
+    base = run(lambda: ContinuousBatcher(
+        params, cfg, num_slots=4, max_len=512, policy=FP32_POLICY,
+        use_flash=False, cache_dtype=jnp.float32))
+    for make in (
+        lambda: ContinuousBatcher(params, cfg, num_slots=4, max_len=512,
+                                  policy=FP32_POLICY, use_flash=False,
+                                  cache_dtype=jnp.float32, steps_per_sync=4),
+        lambda: PagedBatcher(params, cfg, num_slots=4, num_pages=64, page_size=64,
+                             max_pages_per_slot=8, policy=FP32_POLICY,
+                             use_flash=False, cache_dtype=jnp.float32),
+        lambda: PagedBatcher(params, cfg, num_slots=4, num_pages=64, page_size=64,
+                             max_pages_per_slot=8, policy=FP32_POLICY,
+                             use_flash=False, cache_dtype=jnp.float32,
+                             steps_per_sync=4),
+    ):
+        assert run(make) == base
