@@ -54,3 +54,19 @@ def test_serve_jsonl(tmp_path):
     )
     lines2 = [json.loads(l) for l in open(out2)]
     assert lines2 == lines
+
+    # windowed decode (k>1) produces the same responses
+    out3 = tmp_path / "out_windowed.jsonl"
+    serve.main(
+        [
+            "--input", str(inp),
+            "--output", str(out3),
+            "--slots", "2",
+            "--max-len", "512",
+            "--preset", "callireader-tiny",
+            "--random-init",
+            "--steps-per-sync", "4",
+        ]
+    )
+    lines3 = [json.loads(l) for l in open(out3)]
+    assert lines3 == lines
