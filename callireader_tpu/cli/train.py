@@ -123,7 +123,8 @@ def main(argv=None):
         if "pseudo_embeds" in sample:
             print(f"[check-data] pseudo embeds: {sample['pseudo_embeds'].shape}", file=sys.stderr)
         return
-    steps_per_epoch = max(1, len(dataset) // (args.batch_size * args.grad_accum))
+    accum = max(1, args.grad_accum)
+    steps_per_epoch = max(1, len(dataset) // (args.batch_size * accum))
     total_steps = args.max_iters or int(steps_per_epoch * args.epochs)
 
     train_cfg = e_it.TrainConfig(
@@ -131,6 +132,7 @@ def main(argv=None):
         total_steps=total_steps,
         lora_rank=args.lora_rank,
         lora_alpha=args.lora_alpha,
+        grad_accum=accum,
     )
 
     params = engine.params
@@ -165,12 +167,32 @@ def main(argv=None):
     spans = Spans()
     thr = TrainThroughput(cfg, seq_len=2048)
     loader = data_mod.data_loader(dataset, args.batch_size, shuffle_seed=args.seed)
+    # state.step counts MICRO-batches; an "iter" (logs, checkpoints, schedule)
+    # is one accumulated update of `accum` micro-batches, matching the
+    # reference's accumulative_counts semantics (e-IT.py:40).
     it = int(state.step)
+    micro_per_epoch = max(1, len(dataset) // args.batch_size)
+    if args.resume and it:
+        # fast-forward the shuffled stream past already-consumed batches so a
+        # mid-epoch resume continues where it left off instead of re-training
+        # the head of the epoch (reference sampler resume behavior)
+        skip = it % micro_per_epoch
+        for _ in range(skip):
+            try:
+                next(loader)
+            except StopIteration:
+                loader = data_mod.data_loader(
+                    dataset, args.batch_size, shuffle_seed=args.seed
+                )
+                next(loader)
+        if skip:
+            print(f"[train] data loader fast-forwarded {skip} batches", file=sys.stderr)
+    micro_total = total_steps * accum
     last_ckpt = None
     log_path = os.path.join(args.out, "train_log.jsonl")
 
     with mesh:
-        while it < total_steps:
+        while it < micro_total:
             try:
                 batch = next(loader)
             except StopIteration:
@@ -182,9 +204,12 @@ def main(argv=None):
             it = int(state.step)
             n_tok = int(np.asarray(metrics["n_tokens"]))
             stats = thr.step(n_tok)
-            if it % args.log_interval == 0:
+            if it % accum:
+                continue  # mid-accumulation micro-batch: no update happened
+            upd = it // accum
+            if upd % args.log_interval == 0:
                 rec = {
-                    "iter": it,
+                    "iter": upd,
                     "loss": float(metrics["loss"]),
                     "grad_norm": float(metrics["grad_norm"]),
                     **{k: round(v, 2) for k, v in stats.items()},
@@ -192,25 +217,26 @@ def main(argv=None):
                 print(f"[train] {json.dumps(rec)}", file=sys.stderr)
                 with open(log_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
-            if args.ckpt_interval and it % args.ckpt_interval == 0:
-                path = os.path.join(args.out, f"iter_{it}")
-                ckpt_mod.save_train_state(path, state, metadata={"iter": it, "seed": args.seed})
+            if args.ckpt_interval and upd % args.ckpt_interval == 0:
+                path = os.path.join(args.out, f"iter_{upd}")
+                ckpt_mod.save_train_state(path, state, metadata={"iter": upd, "seed": args.seed})
                 if last_ckpt and os.path.exists(last_ckpt):
                     shutil.rmtree(last_ckpt)  # keep-1 (e-IT.py:150-155)
                 last_ckpt = path
-            if args.eval_chat_interval and it % args.eval_chat_interval == 0:
+            if args.eval_chat_interval and upd % args.eval_chat_interval == 0:
                 merged = e_it.merge_params(state.trainable, frozen)
                 engine.params = merged
                 resp = engine.chat(None, args.eval_chat_prompt, max_new_tokens=32)
-                print(f"[eval-chat @{it}] {resp!r}", file=sys.stderr)
+                print(f"[eval-chat @{upd}] {resp!r}", file=sys.stderr)
 
     # final save + deployable export
     final = os.path.join(args.out, "final")
-    ckpt_mod.save_train_state(final, state, metadata={"iter": it, "seed": args.seed})
+    ckpt_mod.save_train_state(final, state, metadata={"iter": it // accum, "seed": args.seed})
     merged = e_it.merge_params(state.trainable, frozen)
     export_dir = os.path.join(args.out, "export_official")
     ckpt_mod.export_reference_format(merged, cfg, export_dir)
-    print(f"[train] done: {it} iters; export at {export_dir}", file=sys.stderr)
+    print(f"[train] done: {it // accum} iters ({it} micro-batches); export at {export_dir}",
+          file=sys.stderr)
     print(spans.report(), file=sys.stderr)
 
 

@@ -125,10 +125,30 @@ def rope_cos_sin(positions: jax.Array, inv_freq: jnp.ndarray) -> Tuple[jax.Array
 def cos_sin_for(cfg: LLMConfig, positions: jax.Array, kv_seq_len: int):
     """RoPE tables honoring the configured scaling: "linear" divides positions
     by the factor (sft.py:161-184 _prepare_for_long_context_training);
-    "dynamic" rescales the base past the window (rope_inv_freq)."""
+    "dynamic" rescales the base past the window (rope_inv_freq).
+
+    ``kv_seq_len`` is the static upper bound (cache capacity). The dynamic-NTK
+    rescale itself is gated on the RUNTIME sequence length (max position + 1,
+    traced), matching the reference's recompute-on-growth semantics
+    (modeling_internlm2.py:216-233) — a cache allocated beyond
+    max_position_embeddings must not change frequencies for short sequences."""
     pos = positions.astype(jnp.float32)
     if cfg.rope_scaling_type == "linear":
         pos = pos / cfg.rope_scaling_factor
+    if cfg.rope_scaling_type == "dynamic" and kv_seq_len > cfg.max_position_embeddings:
+        f = cfg.rope_scaling_factor
+        mpe = float(cfg.max_position_embeddings)
+        seq = jnp.max(positions).astype(jnp.float32) + 1.0
+        base = jnp.where(
+            seq > mpe,
+            cfg.rope_theta
+            * ((f * seq / mpe) - (f - 1)) ** (cfg.head_dim / (cfg.head_dim - 2)),
+            cfg.rope_theta,
+        )
+        inv_freq = 1.0 / (
+            base ** (jnp.arange(0, cfg.head_dim, 2, dtype=jnp.float32) / cfg.head_dim)
+        )
+        return rope_cos_sin(pos, inv_freq)
     return rope_cos_sin(pos, rope_inv_freq(cfg, kv_seq_len))
 
 

@@ -248,17 +248,42 @@ class PagedBatcher:
     def submit(self, req: Request) -> None:
         self.queue.append(req)
 
+    def _reject(self, req: Request, why: str) -> None:
+        req.tokens = []
+        req.error = why
+        self.done.append(req)
+
     def _admit(self) -> None:
         # take as many queued requests as free slots + pages allow, grouped by
         # prompt bucket: an n-row prefill amortizes the weight reads that
         # dominate 1-row prefill
         free_slots = [s for s in range(self.B) if self.slots[s] is None]
         taken: List[Tuple[Request, int, List[int]]] = []  # (req, bucket, pages)
+        cap = self.P * self.page
         while free_slots[len(taken):] and self.queue:
             req = self.queue[0]
             S = req.embeds.shape[0]
-            bucket = gen.bucket_length(max(S, self.page))
+            try:
+                bucket = gen.bucket_length(max(S, self.page))
+            except ValueError:
+                self.queue.pop(0)
+                self._reject(req, f"prompt length {S} exceeds buckets")
+                continue
             bucket = -(-bucket // self.page) * self.page
+            # admission guard: the prompt (plus the windowed-mode decode
+            # headroom) must fit a slot's page budget. Clamping n_pages here
+            # would crash _insert_pages (bucket needs > P pages) or silently
+            # overwrite prompt KV (first window past a full slot) — fail the
+            # request, never the server.
+            headroom = self.steps_per_sync if self.steps_per_sync > 1 else 0
+            if bucket + headroom > cap:
+                self.queue.pop(0)
+                self._reject(
+                    req,
+                    f"prompt bucket {bucket} + window {headroom} exceeds slot "
+                    f"capacity {cap} ({self.P} pages x {self.page})",
+                )
+                continue
             n_pages = min(self.P, -(-(bucket + req.max_new_tokens) // self.page))
             if len(self.pool.free) < n_pages:
                 break  # backpressure: wait for pages

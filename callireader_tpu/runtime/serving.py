@@ -50,6 +50,9 @@ class Request:
     repetition_penalty: float = 1.0
     # filled on completion:
     tokens: Optional[List[int]] = None
+    # set instead of tokens when the request is rejected at admission (prompt
+    # exceeds the cache capacity) — the request fails, never the server
+    error: Optional[str] = None
 
 
 class ContinuousBatcher:
@@ -154,6 +157,30 @@ class ContinuousBatcher:
     def submit(self, req: Request) -> None:
         self.queue.append(req)
 
+    def _reject(self, req: Request, why: str) -> None:
+        req.tokens = []
+        req.error = why
+        self.done.append(req)
+
+    def _admission_bucket(self, req: Request) -> Optional[int]:
+        """Prompt bucket if the request fits the cache, else None (rejected).
+        Windowed mode needs `steps_per_sync` write headroom past the bucket —
+        otherwise the first window's out-of-range cache writes would corrupt
+        or drop KV before the late cap check retires the slot."""
+        try:
+            bucket = gen.bucket_length(req.embeds.shape[0])
+        except ValueError:
+            self._reject(req, f"prompt length {req.embeds.shape[0]} exceeds buckets")
+            return None
+        headroom = self.steps_per_sync if self.steps_per_sync > 1 else 0
+        if bucket + headroom > self.max_len:
+            self._reject(
+                req,
+                f"prompt bucket {bucket} + window {headroom} exceeds max_len {self.max_len}",
+            )
+            return None
+        return bucket
+
     def _fill_free_slots(self) -> None:
         free = [s for s in range(self.B) if self.slot_req[s] is None]
         if not free or not self.queue:
@@ -164,7 +191,9 @@ class ContinuousBatcher:
         del self.queue[: len(take)]
         by_bucket: Dict[int, List[Request]] = {}
         for req in take:
-            by_bucket.setdefault(gen.bucket_length(req.embeds.shape[0]), []).append(req)
+            bucket = self._admission_bucket(req)
+            if bucket is not None:
+                by_bucket.setdefault(bucket, []).append(req)
         it = iter(free)
         for bucket, reqs in by_bucket.items():
             # jit caches one program per (bucket, n) shape; n <= num_slots

@@ -43,6 +43,11 @@ class TrainConfig:
     lora_alpha: float = 256.0
     train_mlp1: bool = True
     remat: bool = True
+    # micro-batches per optimizer update (accumulative_counts in the reference
+    # recipes, e.g. 2 for e-IT.py:40). The train step still runs per
+    # micro-batch; optax.MultiSteps sums grads and applies the inner update
+    # (and advances the LR schedule) once per `grad_accum` calls.
+    grad_accum: int = 1
 
 
 # ---------------------------------------------------------------------------
@@ -164,13 +169,19 @@ def make_optimizer(train_cfg: TrainConfig) -> optax.GradientTransformation:
         decay_steps=train_cfg.total_steps,
         end_value=0.0,
     )
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(train_cfg.grad_clip),
         optax.adamw(
             schedule, b1=train_cfg.betas[0], b2=train_cfg.betas[1],
             weight_decay=train_cfg.weight_decay,
         ),
     )
+    if train_cfg.grad_accum > 1:
+        # DeepSpeed gradient_accumulation_steps equivalent: average grads over
+        # grad_accum micro-batches, one real update (and one schedule tick)
+        # per accumulation window.
+        tx = optax.MultiSteps(tx, every_k_schedule=train_cfg.grad_accum)
+    return tx
 
 
 @dataclasses.dataclass

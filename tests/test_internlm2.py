@@ -137,3 +137,33 @@ def test_torch_golden_parity():
 
     ours = _fwd(params, jnp.asarray(ids_np))
     np.testing.assert_allclose(np.asarray(ours), golden, atol=5e-4, rtol=5e-4)
+
+
+def test_dynamic_ntk_gated_on_runtime_length():
+    """A cache allocated beyond max_position_embeddings must NOT change RoPE
+    frequencies for short sequences; the rescale kicks in only once the
+    runtime max position crosses the window (modeling_internlm2.py:216-233)."""
+    import dataclasses
+
+    from callireader_tpu.core.config import callireader_tiny
+    from callireader_tpu.models.internlm2 import cos_sin_for, rope_cos_sin, rope_inv_freq
+
+    cfg = dataclasses.replace(
+        callireader_tiny().llm,
+        max_position_embeddings=64, rope_scaling_type="dynamic", rope_scaling_factor=2.0,
+    )
+    short_pos = jnp.arange(10, dtype=jnp.int32)[None, :]
+    # capacity 128 > window 64, but runtime length 10 is short: must equal
+    # the unscaled tables
+    cos, sin = cos_sin_for(cfg, short_pos, 128)
+    ref_cos, ref_sin = rope_cos_sin(
+        short_pos.astype(jnp.float32), rope_inv_freq(cfg, 64)
+    )
+    np.testing.assert_allclose(np.asarray(cos), np.asarray(ref_cos), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sin), np.asarray(ref_sin), rtol=1e-6)
+
+    # runtime length past the window: tables must differ (rescaled base)
+    long_pos = jnp.arange(100, dtype=jnp.int32)[None, :]
+    cos_l, _ = cos_sin_for(cfg, long_pos, 128)
+    ref_cos_l, _ = rope_cos_sin(long_pos.astype(jnp.float32), rope_inv_freq(cfg, 64))
+    assert float(jnp.max(jnp.abs(cos_l - ref_cos_l))) > 1e-4

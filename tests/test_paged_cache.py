@@ -107,3 +107,31 @@ def test_paged_windowed_matches_single_step():
         return {r.uid: r.tokens for r in done}
 
     assert run(1) == run(4)
+
+
+def test_paged_overlong_prompt_rejected_not_crash():
+    """A prompt needing more pages than a slot can hold is rejected at
+    admission (clamping would crash _insert_pages / corrupt prompt KV)."""
+    params = internlm2.init_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+
+    def emb(ids):
+        return np.asarray(
+            internlm2.embed_tokens(params, jnp.asarray(np.asarray(ids)[None]), jnp.float32)
+        )[0]
+
+    b = PagedBatcher(
+        params, CFG, num_slots=2, num_pages=16, page_size=64,
+        max_pages_per_slot=2, policy=FP32_POLICY, use_flash=False,
+    )
+    rng = np.random.RandomState(5)
+    too_long = Request(  # bucket 256 > 2 pages x 64
+        uid=0, embeds=emb(rng.randint(10, 900, 200)), max_new_tokens=4,
+        eos_token_ids=(-1,),
+    )
+    ok = Request(uid=1, embeds=emb([1, 5, 9]), max_new_tokens=4, eos_token_ids=(-1,))
+    b.submit(too_long)
+    b.submit(ok)
+    done = b.run()
+    by_uid = {r.uid: r for r in done}
+    assert by_uid[0].error is not None and by_uid[0].tokens == []
+    assert by_uid[1].error is None and len(by_uid[1].tokens) >= 1

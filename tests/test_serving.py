@@ -165,3 +165,29 @@ def test_mixed_bucket_admissions():
                              steps_per_sync=4),
     ):
         assert run(make) == base
+
+
+def test_overlong_prompt_rejected_not_crash():
+    """A prompt whose bucket exceeds max_len (or leaves no windowed headroom)
+    fails just that request at admission; the server keeps serving."""
+    params = _params()
+    batcher = ContinuousBatcher(
+        params, CFG, num_slots=2, max_len=256, policy=FP32_POLICY,
+        use_flash=False, steps_per_sync=4,
+    )
+    rng = np.random.RandomState(3)
+    # bucket 256 + window 4 > 256 -> rejected
+    too_long = Request(
+        uid=0, embeds=_embeds(params, np.asarray(rng.randint(10, 900, 200))[None])[0],
+        max_new_tokens=8, eos_token_ids=(-1,),
+    )
+    ok = Request(
+        uid=1, embeds=_embeds(params, np.asarray([1, 5, 9])[None])[0],
+        max_new_tokens=6, eos_token_ids=(-1,),
+    )
+    batcher.submit(too_long)
+    batcher.submit(ok)
+    done = batcher.run()
+    by_uid = {r.uid: r for r in done}
+    assert by_uid[0].error is not None and by_uid[0].tokens == []
+    assert by_uid[1].error is None and len(by_uid[1].tokens) == 6

@@ -147,3 +147,45 @@ def test_length_grouped_indices_cover_all():
     lengths = list(np.random.RandomState(0).randint(10, 100, 37))
     order = data_mod.length_grouped_indices(lengths, batch_size=4)
     assert sorted(order) == list(range(37))
+
+
+def test_grad_accum_applies_update_every_k():
+    """grad_accum=k: trainable params stay bitwise-identical for the first k-1
+    micro-batches and change on the k-th (optax.MultiSteps semantics matching
+    the reference's accumulative_counts, e-IT.py:40)."""
+    params = init_all_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    params["llm"] = lora.add_lora(params["llm"], CFG.llm, jax.random.PRNGKey(1), rank=4, alpha=8)
+    tc = e_it.TrainConfig(
+        learning_rate=5e-3, total_steps=10, warmup_ratio=0.0, remat=False, grad_accum=2
+    )
+    state, frozen, tx = e_it.create_train_state(params, tc)
+    step = jax.jit(e_it.make_train_step(CFG, tc, tx, policy=FP32_POLICY, use_flash=False))
+
+    B, S = 2, 32
+    rng = np.random.RandomState(0)
+    ids = rng.randint(10, 1000, (B, S)).astype(np.int32)
+    labels = np.where(np.arange(S)[None] >= S // 2, ids, e_it.IGNORE_INDEX).astype(np.int32)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "segment_ids": jnp.zeros((B, S), jnp.int32),
+        "positions": jnp.tile(jnp.arange(S)[None], (B, 1)),
+    }
+
+    def a_lora_leaf(t):
+        return np.asarray(t["llm"]["layers"]["wq_lora_b"])
+
+    before = a_lora_leaf(state.trainable)
+    # micro 1: accumulate only
+    state, _ = step(state, frozen, batch)
+    assert int(state.opt_state.gradient_step) == 0, "update applied too early"
+    assert np.array_equal(a_lora_leaf(state.trainable), before)
+    # micro 2: first real update (warmup lr=0 at count 0 -> params still equal)
+    state, _ = step(state, frozen, batch)
+    assert int(state.opt_state.gradient_step) == 1, "update never applied"
+    # micro 3+4: second update carries a nonzero LR -> params move
+    state, _ = step(state, frozen, batch)
+    assert int(state.opt_state.gradient_step) == 1
+    state, _ = step(state, frozen, batch)
+    assert int(state.opt_state.gradient_step) == 2
+    assert not np.array_equal(a_lora_leaf(state.trainable), before), "params never moved"
