@@ -1,17 +1,30 @@
 """End-of-round benchmark: CalliBench-style full-page recognition throughput.
 
-Runs the flagship single-chip config (callireader-2b: full CalliReader layer
-topology, depth reduced to fit one v5e chip in bf16) through the complete
-batched full-page pipeline (the engine's batch_chat_ocr / --batch_size mode):
+Measures the COMPLETE chat_ocr pipeline on the flagship single-chip config
+(callireader-2b: full CalliReader layer topology, depth reduced to fit one
+v5e chip in bf16), on a synthetic page that structurally matches the
+reference's examples/0.jpg fixture (788x2000, 96 ink chars in 6 columns):
 
-  per image: 8 main tiles -> ViT -> projector; 96 char content boxes -> ViT ->
-             perceiver resampler -> cosine VQ -> denorm; prompt splice
+  per image: dynamic tiling -> ViT -> projector         (device)
+             YOLO detector forward on the full page     (device)
+             dedup -> kmeans -> merge -> OrderFormer -> per-column sort (host)
+             96 char crops -> scale/pad (native lib) -> luma transfer ->
+             ViT -> perceiver resampler -> cosine VQ -> denorm
+             prompt build + pseudo/image token splice
   then:      ONE prefill + ONE fused on-device decode loop (256 tokens) for
              the whole batch — decode HBM traffic amortizes across images,
-             which is the structural win over the reference's sequential
-             evaluate.py loop.
+             the structural win over the reference's sequential evaluate.py
+             loop (evaluate.py:142-143).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The detector carries random weights (no trained checkpoint is shipped), so
+its forward pass is timed for cost but the box pipeline runs on the page's
+known ground-truth boxes — realistic box counts, deterministic behavior.
+
+Reported (ONE JSON line):
+  value        imgs/sec = BATCH / median(per-batch completion intervals)
+  p50_ttft_ms  median time from image start to first token (vision + align +
+               prefill + first-logits readback), single-request
+  spread       (max-min)/median of the batch intervals (run stability)
 The reference publishes no numbers (BASELINE.md) -> vs_baseline is null.
 """
 
@@ -22,10 +35,37 @@ import time
 import numpy as np
 
 BATCH = 8
-N_BATCHES = 3
-N_CHARS = 96
-N_TILES = 8
+N_BATCHES = 5
+N_TTFT = 3
 DECODE_TOKENS = 256
+PAGE_W, PAGE_H = 788, 2000
+N_COLS, CHARS_PER_COL = 6, 16
+
+
+def make_page(seed: int = 0):
+    """Synthetic calligraphy page: 96 dark glyph blocks in 6 columns on paper,
+    structurally matching the reference fixture (examples/0.json layout).
+    Returns (page uint8 (H, W, 3), flat boxes [[x1,y1,x2,y2], ...])."""
+    rng = np.random.RandomState(seed)
+    page = np.full((PAGE_H, PAGE_W, 3), 235, np.uint8)
+    page += rng.randint(0, 18, page.shape).astype(np.uint8)  # paper texture
+    boxes = []
+    col_w = PAGE_W // (N_COLS + 1)
+    for c in range(N_COLS):
+        x0 = PAGE_W - (c + 1) * col_w - 20
+        for r in range(CHARS_PER_COL):
+            y0 = 40 + r * (PAGE_H - 80) // CHARS_PER_COL
+            w = rng.randint(55, 75)
+            h = rng.randint(55, 75)
+            # glyph: random ink strokes
+            glyph = np.full((h, w, 3), 245, np.uint8)
+            for _ in range(6):
+                sx, sy = rng.randint(0, w - 8), rng.randint(0, h - 8)
+                glyph[sy : sy + rng.randint(4, h - sy), sx : sx + rng.randint(3, 8)] = rng.randint(10, 60)
+                glyph[sy : sy + rng.randint(3, 8), sx : sx + rng.randint(4, w - sx)] = rng.randint(10, 60)
+            page[y0 : y0 + h, x0 : x0 + w] = glyph
+            boxes.append([float(x0), float(y0), float(x0 + w), float(y0 + h)])
+    return page, boxes
 
 
 def main():
@@ -37,10 +77,11 @@ def main():
     enable_compilation_cache()
 
     from callireader_tpu.core.config import callireader_2b
+    from callireader_tpu.models import internlm2
     from callireader_tpu.runtime import generate as gen
     from callireader_tpu.runtime.conversation import build_chat_prompt
     from callireader_tpu.runtime.engine import (
-        ALIGNED, IMG_CONTEXT, IMG_END, IMG_START, CalliReaderEngine, init_all_params,
+        ALIGNED, CalliReaderEngine, init_all_params,
     )
     from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer
     from callireader_tpu.vision import preprocess
@@ -53,37 +94,30 @@ def main():
     tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
     engine = CalliReaderEngine(cfg, params, tok, use_flash=on_tpu)
 
-    rng = np.random.RandomState(0)
-    stage = {}
-    canvas = preprocess.char_content_canvas(cfg.force_image_size)
+    page, gt_flat = make_page()
+    real_detector = engine.detector
 
-    def build_row(seed: int) -> np.ndarray:
-        """Vision + align + splice for one image -> (S, E) prompt embeds."""
-        t0 = time.time()
-        tiles = rng.randint(
-            0, 255, (N_TILES, cfg.force_image_size, cfg.force_image_size, 3), np.uint8
+    n_learns = cfg.resampler.num_learns
+
+    def build_row(run_detector: bool = True):
+        """The full chat_ocr front half for one image -> (embeds, mask)."""
+        # real detector forward for cost; box pipeline on the GT boxes
+        if run_detector:
+            engine.detector = real_detector
+            _ = engine.detector(page)
+        engine.detector = lambda img: [list(b) for b in gt_flat]
+        pseudo, _idx = engine.calli_align(page)
+        pixel_values = preprocess.load_image(
+            page, cfg.force_image_size, cfg.max_dynamic_patch,
+            cfg.use_thumbnail, as_uint8=True,
         )
-        img_embeds = engine.encode_image_tiles(tiles)
-        stage["vit_tiles"] = stage.get("vit_tiles", 0.0) + time.time() - t0
-
-        t0 = time.time()
-        chars = rng.randint(0, 255, (N_CHARS, canvas, canvas, 3), np.uint8)
-        feats = engine.encode_char_contents(chars)
-        pseudo, _ = engine._resample_vq(engine.params, feats)
-        pseudo = pseudo[: N_CHARS * cfg.resampler.num_learns]
-        stage["chars_vq"] = stage.get("chars_vq", 0.0) + time.time() - t0
-
-        t0 = time.time()
-        q = "<image>\n读出图中所有文字。" + ALIGNED * (N_CHARS * cfg.resampler.num_learns)
+        img_embeds = engine.encode_image_tiles(pixel_values)
+        q = "<image>\n读出图中所有文字。" + ALIGNED * pseudo.shape[0]
         conv = build_chat_prompt(q)
-        query = conv.get_prompt().replace(
-            "<image>", IMG_START + IMG_CONTEXT * cfg.num_image_token * N_TILES + IMG_END, 1
-        )
-        ids = np.asarray(tok.encode(query), np.int32)
+        query = engine._expand_image_tokens(conv.get_prompt(), [pixel_values.shape[0]])
+        ids = engine._tokenize_prompt(query)
         bucket = gen.bucket_length(len(ids))
-        e, m = engine._build_row_embeds(ids, img_embeds, pseudo, bucket)
-        stage["splice"] = stage.get("splice", 0.0) + time.time() - t0
-        return e, m
+        return engine._build_row_embeds(ids, img_embeds, pseudo, bucket)
 
     gcfg = gen.GenerateConfig(
         max_new_tokens=DECODE_TOKENS,
@@ -91,9 +125,8 @@ def main():
         repetition_penalty=1.0,
     )
 
-    def dispatch_batch(seed: int):
-        """Vision + splice + async generate dispatch (no host sync)."""
-        built = [build_row(seed * BATCH + i) for i in range(BATCH)]
+    def dispatch_batch():
+        built = [build_row() for _ in range(BATCH)]
         embeds = jnp.concatenate([e for e, _ in built], axis=0)  # device-side
         mask = np.concatenate([m for _, m in built], axis=0)
         return gen.generate_from_embeds(
@@ -102,42 +135,66 @@ def main():
             use_flash=on_tpu,
         )
 
+    # ---- warmup: compiles every program in the path ----
     t0 = time.time()
-    toks, lengths = dispatch_batch(0)  # warmup (compiles)
-    assert (np.asarray(lengths) == DECODE_TOKENS).all()
+    toks, lengths = dispatch_batch()
+    assert (np.asarray(lengths) == DECODE_TOKENS).all()  # forces a full sync
     print(f"[bench] warmup: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(
+        f"[bench] per-image work: {len(gt_flat)} chars, "
+        f"{preprocess.load_image(page, cfg.force_image_size, cfg.max_dynamic_patch, cfg.use_thumbnail).shape[0]} tiles, "
+        f"{DECODE_TOKENS} decode tokens",
+        file=sys.stderr,
+    )
 
-    # One generate in flight (two full generates crowd HBM with double KV
-    # caches — measured slower), but batch N+1's vision/transfer work is
-    # issued BEFORE syncing batch N's decode: the char h2d rides the DMA
-    # engines while the decode loop owns the compute core. Measured +68%
-    # over the fully sequential loop on v5e.
-    stage.clear()
-    t0 = time.time()
-    prev = None
-    for b in range(1, 1 + N_BATCHES):
-        built = [build_row(b * BATCH + i) for i in range(BATCH)]
-        if prev is not None:
-            assert (np.asarray(prev[1]) == DECODE_TOKENS).all()
-        embeds = jnp.concatenate([e for e, _ in built], axis=0)
-        mask = np.concatenate([m for _, m in built], axis=0)
+    # ---- TTFT: single image, vision+align+prefill+first-logits readback ----
+    ttfts = []
+    for _ in range(N_TTFT):
+        t0 = time.time()
+        e, m = build_row()
+        logits, _cache = internlm2.prefill(
+            engine.params["llm"], cfg.llm, inputs_embeds=e,
+            attention_mask=jnp.asarray(m),
+            max_len=e.shape[1] + DECODE_TOKENS, use_flash=on_tpu,
+        )
+        first = int(np.asarray(jnp.argmax(logits[0])))  # d2h sync
+        ttfts.append((time.time() - t0) * 1e3)
+    p50_ttft = float(np.median(ttfts))
+    print(f"[bench] TTFT ms: {[round(t) for t in ttfts]} -> p50 {p50_ttft:.0f}", file=sys.stderr)
+
+    # ---- throughput: pipelined batches, per-batch completion intervals ----
+    # One generate in flight; batch N+1's vision/box/transfer work is issued
+    # BEFORE syncing batch N's decode, so the char h2d rides the DMA engines
+    # while the decode loop owns the compute core (+68% over sequential).
+    engine.timings.spans.clear()
+    marks = [time.time()]
+    prev = dispatch_batch()
+    for _ in range(N_BATCHES - 1):
+        nxt_built = [build_row() for _ in range(BATCH)]
+        assert (np.asarray(prev[1]) == DECODE_TOKENS).all()  # sync batch N
+        marks.append(time.time())
+        embeds = jnp.concatenate([e for e, _ in nxt_built], axis=0)
+        mask = np.concatenate([m for _, m in nxt_built], axis=0)
         prev = gen.generate_from_embeds(
             engine.params["llm"], cfg.llm, embeds, jnp.asarray(mask),
             gen_cfg=gcfg, max_cache_len=embeds.shape[1] + DECODE_TOKENS,
             use_flash=on_tpu,
         )
     assert (np.asarray(prev[1]) == DECODE_TOKENS).all()
-    dt = time.time() - t0
-    n_imgs = BATCH * N_BATCHES
-    ips = n_imgs / dt
+    marks.append(time.time())
+
+    intervals = np.diff(marks)
+    med = float(np.median(intervals))
+    ips = BATCH / med
+    spread = float((intervals.max() - intervals.min()) / med)
     print(
-        f"[bench] stage totals: { {k: round(v, 2) for k, v in stage.items()} }",
+        f"[bench] host-stage totals: "
+        f"{ {k: round(v, 2) for k, v in engine.timings.spans.items()} }",
         file=sys.stderr,
     )
     print(
-        f"[bench] {n_imgs} imgs in {dt:.2f}s -> {ips:.4f} imgs/s "
-        f"(batch {BATCH}; {N_TILES} tiles + {N_CHARS} chars + {DECODE_TOKENS} decode "
-        f"tokens per img)",
+        f"[bench] batch intervals: {[round(v, 2) for v in intervals]}s "
+        f"(median {med:.2f}, spread {spread:.2f}) -> {ips:.4f} imgs/s",
         file=sys.stderr,
     )
     print(
@@ -147,6 +204,9 @@ def main():
                 "value": round(ips, 4),
                 "unit": "imgs/sec",
                 "vs_baseline": None,
+                "p50_ttft_ms": round(p50_ttft, 1),
+                "interval_spread": round(spread, 3),
+                "batches": [round(float(v), 3) for v in intervals],
             }
         )
     )

@@ -23,8 +23,11 @@ def build_engine(
     adapter_path: Optional[str] = None,
     lora_rank: int = 128,
     lora_alpha: float = 256.0,
-    gray_chars: bool = False,
+    gray_chars: bool = True,
+    mesh_spec: Optional[str] = None,
 ) -> CalliReaderEngine:
+    """``mesh_spec``: e.g. "tensor=4,fsdp=2" — SPMD inference over all local
+    devices (required to serve callireader-8b bf16, which exceeds one chip)."""
     import jax
     import jax.numpy as jnp
 
@@ -94,4 +97,18 @@ def build_engine(
     elif quant:
         raise ValueError(f"unknown quant mode {quant!r}")
 
-    return CalliReaderEngine(cfg, params, tok, gray_chars=gray_chars)
+    mesh = None
+    if mesh_spec:
+        from callireader_tpu.parallel import spmd
+
+        shape = {k: int(v) for k, v in (kv.split("=") for kv in mesh_spec.split(","))}
+        n = len(jax.devices())
+        used = 1
+        for v in shape.values():
+            used *= v
+        if n % used == 0 and "data" not in shape:
+            shape["data"] = n // used
+        mesh = spmd.make_mesh(shape)
+        print(f"[engine] SPMD mesh: {dict(mesh.shape)}", file=sys.stderr)
+
+    return CalliReaderEngine(cfg, params, tok, gray_chars=gray_chars, mesh=mesh)

@@ -47,6 +47,8 @@ def main(argv=None):
                         help="orbax e-IT checkpoint dir (LoRA+mlp1) to merge before serving")
     parser.add_argument("--data-path", type=str, default=None,
                         help="mmbench TSV / refcoco JSON path (overrides --data)")
+    parser.add_argument("--rgb-chars", action="store_true",
+                        help="full-RGB char canvases (bit-parity with the reference; 3x the transfer bytes of the luma default)")
     parser.add_argument("--gray-chars", action="store_true",
                         help="ship char canvases as single-channel luma (3x fewer "
                         "host-link bytes; NOT bit-identical to RGB crops)")
@@ -59,7 +61,7 @@ def main(argv=None):
 
     engine = build_engine(
         preset=args.preset, checkpoint_dir=args.checkpoint, random_init_ok=args.random_init,
-        quant=args.quant, adapter_path=args.adapter, gray_chars=args.gray_chars,
+        quant=args.quant, adapter_path=args.adapter, gray_chars=not args.rgb_chars,
     )
     kw = dict(
         use_p=args.use_p, hard_vq=args.hard_vq, drop_zero=args.drop_zero,

@@ -63,6 +63,8 @@ def main(argv=None):
     parser.add_argument("--quant", type=str, default=None, choices=[None, "int8"])
     parser.add_argument("--adapter", type=str, default=None,
                         help="orbax e-IT checkpoint dir (LoRA+mlp1) to merge before serving")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help='SPMD inference mesh, e.g. "tensor=4,fsdp=2"')
     args = parser.parse_args(argv)
 
     if not isinstance(args.tgt, str):
@@ -72,7 +74,7 @@ def main(argv=None):
 
     engine = build_engine(
         preset=args.preset, checkpoint_dir=args.checkpoint, random_init_ok=args.random_init,
-        quant=args.quant, adapter_path=args.adapter,
+        quant=args.quant, adapter_path=args.adapter, mesh_spec=args.mesh,
     )
 
     def rec(image_path):

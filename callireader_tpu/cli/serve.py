@@ -38,12 +38,18 @@ def main(argv=None):
     parser.add_argument("--random-init", action="store_true")
     parser.add_argument("--quant", type=str, default=None, choices=[None, "int8"])
     parser.add_argument("--repetition-penalty", type=float, default=1.0)
+    parser.add_argument("--rgb-chars", action="store_true",
+                        help="full-RGB char canvases (bit-parity with the reference; 3x the transfer bytes of the luma default)")
     parser.add_argument("--gray-chars", action="store_true",
                         help="single-channel char-canvas transfers (3x fewer bytes)")
     parser.add_argument("--steps-per-sync", type=int, default=1,
                         help="decode steps per host round trip: amortizes "
                         "dispatch latency, costs up to k-1 throwaway steps "
                         "per retiring request")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help='SPMD inference mesh, e.g. "tensor=4,fsdp=2" — '
+                        "shards params + KV cache over all local devices "
+                        "(required for callireader-8b bf16)")
     args = parser.parse_args(argv)
 
     import numpy as np
@@ -58,7 +64,7 @@ def main(argv=None):
     engine = build_engine(
         preset=args.preset, checkpoint_dir=args.checkpoint,
         random_init_ok=args.random_init, quant=args.quant,
-        gray_chars=args.gray_chars,
+        gray_chars=not args.rgb_chars, mesh_spec=args.mesh,
     )
     cfg = engine.cfg
     sep = get_conv_template(cfg.template).sep
@@ -74,13 +80,13 @@ def main(argv=None):
             num_pages=num_pages, page_size=args.page_size,
             max_pages_per_slot=pages_per_slot,
             policy=engine.policy, use_flash=engine.use_flash,
-            steps_per_sync=args.steps_per_sync,
+            steps_per_sync=args.steps_per_sync, mesh=engine.mesh,
         )
     else:
         batcher = ContinuousBatcher(
             engine.params["llm"], cfg.llm, num_slots=args.slots, max_len=args.max_len,
             policy=engine.policy, use_flash=engine.use_flash,
-            steps_per_sync=args.steps_per_sync,
+            steps_per_sync=args.steps_per_sync, mesh=engine.mesh,
         )
 
     requests = [json.loads(l) for l in open(args.input, encoding="utf-8") if l.strip()]
@@ -124,9 +130,13 @@ def main(argv=None):
     with open(args.output, "w", encoding="utf-8") as f:
         for uid, rec in enumerate(requests):
             r = by_uid[uid]
-            text = engine.tok.decode(r.tokens, skip_special_tokens=True)
-            text = text.split(sep)[0].strip()
-            f.write(json.dumps({"id": rec.get("id", uid), "response": text}, ensure_ascii=False) + "\n")
+            out = {"id": rec.get("id", uid)}
+            if r.error is not None:
+                out["error"] = r.error
+            else:
+                text = engine.tok.decode(r.tokens, skip_special_tokens=True)
+                out["response"] = text.split(sep)[0].strip()
+            f.write(json.dumps(out, ensure_ascii=False) + "\n")
     dt = time.time() - t0
     total_toks = sum(len(r.tokens) for r in done)
     print(

@@ -76,6 +76,27 @@ def resolve_spec(
     return PartitionSpec(*out)
 
 
+def spec_for_shape(
+    shape: Tuple[int, ...],
+    logical_axes: Optional[Tuple[Optional[str], ...]],
+    rules: Sequence[Tuple[str, Optional[str]]] = DEFAULT_RULES,
+    mesh: Optional[Mesh] = None,
+) -> PartitionSpec:
+    """resolve_spec + divisibility fallback: a dim whose size is not divisible
+    by its mesh axis replicates instead (device_put rejects uneven shards).
+    E.g. the odd 92553 vocab replicates over "tensor" while every other dim
+    shards; pad the vocab to shard it too."""
+    spec = resolve_spec(logical_axes, rules, mesh)
+    if mesh is None:
+        return spec
+    out = []
+    for i, axis in enumerate(spec):
+        if axis is not None and i < len(shape) and shape[i] % mesh.shape[axis] != 0:
+            axis = None
+        out.append(axis)
+    return PartitionSpec(*out)
+
+
 def logical_to_sharding(
     logical_tree: Any,
     mesh: Mesh,

@@ -81,10 +81,13 @@ def engine_logical_axes(cfg: VLMConfig, params: Dict[str, Any]) -> Dict[str, Any
 
 
 def shard_tree(tree: Any, axes: Any, mesh: Mesh, rules=part.DEFAULT_RULES) -> Any:
-    """device_put a pytree by logical annotations (None axes -> replicated)."""
+    """device_put a pytree by logical annotations (None axes -> replicated).
+    Dims not divisible by their mesh axis fall back to replication (e.g. the
+    odd 92553-row vocab tables)."""
 
     def put(x, a):
-        spec = part.resolve_spec(a, rules, mesh)
+        shape = tuple(getattr(x, "shape", ()) or ())
+        spec = part.spec_for_shape(shape, a, rules, mesh)
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree.map(

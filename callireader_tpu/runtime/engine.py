@@ -81,17 +81,30 @@ class CalliReaderEngine:
         *,
         policy: DTypePolicy = DEFAULT_POLICY,
         use_flash: Optional[bool] = None,
-        gray_chars: bool = False,
+        gray_chars: bool = True,
+        mesh=None,
     ):
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None and any(int(v) > 1 for v in mesh.shape.values()):
+            # SPMD inference: commit every param leaf to its logical-axis
+            # sharding; jitted programs then propagate shardings and GSPMD
+            # inserts the collectives. This is what makes callireader-8b
+            # (15GB bf16 LLM) servable across chips — the reference's only
+            # analogue is single-GPU device_map loading
+            # (modeling_internvl_chat.py:134).
+            from callireader_tpu.parallel import spmd as spmd_mod
+
+            axes = spmd_mod.engine_logical_axes(cfg, params)
+            params = spmd_mod.shard_tree(params, axes, mesh)
         self.params = params
         self.tok = tokenizer
         self.policy = policy
-        # opt-in: ship char content canvases as single-channel luma (PIL "L"
-        # weights) and broadcast to RGB on device — 3x fewer host-link bytes.
-        # Off by default: grayscale is NOT bit-identical to the reference's
-        # RGB crops (calligraphy is near-gray, so accuracy impact is small,
-        # but parity-sensitive evals should leave this off).
+        # Default ON: ship char content canvases as single-channel luma (PIL
+        # "L" weights) and broadcast to RGB on device — 3x fewer host-link
+        # bytes on the dominant transfer. Calligraphy is ink on paper, so the
+        # luma round-trip is near-lossless; pass gray_chars=False
+        # (--rgb-chars) for bit-parity with the reference's RGB crops.
         self.gray_chars = gray_chars
         self.use_flash = (
             use_flash if use_flash is not None else jax.devices()[0].platform == "tpu"
@@ -193,22 +206,59 @@ class CalliReaderEngine:
             outs.append(feats[:real])
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
-    def _prep_char_crops(self, raw_crops: List[np.ndarray]) -> np.ndarray:
-        """Crop -> scale into [200,350] -> white-pad content canvas, batched.
-        Uses the multithreaded native library (callireader_tpu/native) when it
-        builds; PIL fallback is within ±3/255 (tests/test_native_prep.py)."""
+    def _prep_char_crop_groups(
+        self, raw_crops: List[np.ndarray]
+    ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Crop -> scale into [200,350] -> white-pad to the smallest content
+        canvas BUCKET that holds it (preprocess.char_canvas_buckets) -> group
+        by bucket. Most calligraphy chars scale to the 200 lower bound, so the
+        typical transfer is a 224-canvas — ~2.5x fewer host-link bytes than
+        always shipping the 350 canvas (and 7x combined with gray_chars).
+        Returns [(original_indices, (n, canvas, canvas, 3) uint8)], one entry
+        per canvas bucket in use. Uses the multithreaded native library
+        (callireader_tpu/native) when it builds; PIL fallback is within ±3/255
+        (tests/test_native_prep.py)."""
         from callireader_tpu.vision import native
 
         size = self.cfg.force_image_size
-        if native.available():
-            canvas = preprocess.char_content_canvas(size)
-            canvas = canvas if (size - canvas) % 2 == 0 else canvas + 1
-            lo = max(1, round(200 * size / 448))
-            hi = preprocess.char_content_canvas(size)
-            return native.char_content_batch(raw_crops, canvas, lo, hi)
-        return np.stack(
-            [preprocess.load_char_content(c, size) for c in raw_crops]
-        )
+        buckets = preprocess.char_canvas_buckets(size)
+        by_bucket: Dict[int, List[int]] = {}
+        for i, c in enumerate(raw_crops):
+            nw, nh = preprocess.char_content_dims(c.shape[1], c.shape[0], size)
+            m = max(nw, nh)
+            bucket = next((b for b in buckets if b >= m), buckets[-1])
+            by_bucket.setdefault(bucket, []).append(i)
+
+        lo = max(1, round(200 * size / 448))
+        hi = preprocess.char_content_canvas(size)
+        out = []
+        for bucket, idxs in by_bucket.items():
+            crops = [raw_crops[i] for i in idxs]
+            if native.available():
+                stack = native.char_content_batch(crops, bucket, lo, hi)
+            else:
+                stack = np.stack(
+                    [preprocess.load_char_content(c, size, canvas=bucket) for c in crops]
+                )
+            out.append((np.asarray(idxs, np.int64), stack))
+        return out
+
+    def _prep_char_crops(self, raw_crops: List[np.ndarray]) -> np.ndarray:
+        """Single-canvas variant (largest bucket) — kept for callers that need
+        one uniform stack; the engine pipeline uses _prep_char_crop_groups."""
+        groups = self._prep_char_crop_groups(raw_crops)
+        if len(groups) == 1:
+            idxs, stack = groups[0]
+            order = np.argsort(idxs)
+            return stack[order]
+        size = self.cfg.force_image_size
+        canvas = preprocess.char_canvas_buckets(size)[-1]
+        n = len(raw_crops)
+        out = np.full((n, canvas, canvas, 3), 255, np.uint8)
+        for idxs, stack in groups:
+            pad = (canvas - stack.shape[1]) // 2
+            out[idxs, pad : pad + stack.shape[1], pad : pad + stack.shape[2]] = stack
+        return out
 
     # ------------------------------------------------------------------
     # slicing priors + CalliAlign
@@ -285,12 +335,22 @@ class CalliReaderEngine:
             raw_crops.append(image[y1:y2, x1:x2])
         if not raw_crops:
             return None, None
-        char_stack = self._prep_char_crops(raw_crops)  # (N, canvas, canvas, 3) u8
+        groups = self._prep_char_crop_groups(raw_crops)
         self.timings.add("char_crops", time.time() - t0)
 
         t0 = time.time()
-        n = char_stack.shape[0]
-        feats = self.encode_char_contents(char_stack)
+        n = len(raw_crops)
+        if len(groups) == 1:
+            idxs, stack = groups[0]
+            feats = self.encode_char_contents(stack)
+            if not np.array_equal(idxs, np.arange(n)):
+                feats = feats[jnp.argsort(jnp.asarray(idxs))]
+        else:
+            # per-canvas-bucket encodes, reassembled into reading order
+            parts = [self.encode_char_contents(stack) for _, stack in groups]
+            all_idx = np.concatenate([idxs for idxs, _ in groups])
+            order = jnp.argsort(jnp.asarray(all_idx))
+            feats = jnp.concatenate(parts, axis=0)[order]
         # resampler consumes a bucketed batch
         fpad, _ = preprocess.pad_to_bucket(np.zeros((n, 1, 1, 1), np.uint8), CHAR_BUCKETS)
         if fpad.shape[0] != n:

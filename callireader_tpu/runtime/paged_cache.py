@@ -73,6 +73,7 @@ class PagedBatcher:
         cache_dtype=jnp.bfloat16,
         interpret: bool = False,
         steps_per_sync: int = 1,
+        mesh=None,
     ):
         self.params = llm_params
         self.cfg = cfg
@@ -82,6 +83,7 @@ class PagedBatcher:
         self.policy = policy
         self.use_flash = use_flash
         self.interpret = interpret
+        self.mesh = mesh
         # >1: k decode+pick steps per host tick in one on-device scan (valid
         # windows / write targets derived on device from lengths+page_table)
         self.steps_per_sync = max(1, steps_per_sync)
@@ -91,8 +93,24 @@ class PagedBatcher:
 
         self._pending: List[Optional[int]] = [None] * num_slots
         L, Hkv, D = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim
-        self.kpool = jnp.zeros((L, num_pages, Hkv, page_size, D), cache_dtype)
-        self.vpool = jnp.zeros((L, num_pages, Hkv, page_size, D), cache_dtype)
+        pool_shape = (L, num_pages, Hkv, page_size, D)
+        if mesh is not None:
+            # sharded page pools: kv-heads over the tensor axis (see
+            # runtime/serving.py) — page bookkeeping is head-oblivious, so the
+            # allocator is unchanged
+            from jax.sharding import NamedSharding
+
+            from callireader_tpu.core import partition as part
+
+            spec = part.spec_for_shape(
+                pool_shape, (None, None, "kv_heads", None, None), mesh=mesh
+            )
+            kv_sh = NamedSharding(mesh, spec)
+            self.kpool = jax.device_put(jnp.zeros(pool_shape, cache_dtype), kv_sh)
+            self.vpool = jax.device_put(jnp.zeros(pool_shape, cache_dtype), kv_sh)
+        else:
+            self.kpool = jnp.zeros(pool_shape, cache_dtype)
+            self.vpool = jnp.zeros(pool_shape, cache_dtype)
         self.pool = PagePool(num_pages)
         self.slots: List[Optional[_Slot]] = [None] * num_slots
         self.last_logits = jnp.zeros((num_slots, cfg.vocab_size), jnp.float32)
@@ -246,6 +264,10 @@ class PagedBatcher:
     # ------------------------------------------------------------------
 
     def submit(self, req: Request) -> None:
+        # h2d the prompt embeds now so the transfer overlaps in-flight decode
+        # (see runtime/serving.ContinuousBatcher.submit)
+        if req.dev_embeds is None:
+            req.dev_embeds = jnp.asarray(req.embeds)
         self.queue.append(req)
 
     def _reject(self, req: Request, why: str) -> None:
@@ -297,17 +319,17 @@ class PagedBatcher:
             by_bucket.setdefault(bucket, []).append((req, pages))
         it = iter(free_slots)
         for bucket, group in by_bucket.items():
-            # n <= num_slots jit variants per bucket, one-time compile cost
-            n = len(group)
-            E = group[0][0].embeds.shape[-1]
-            embeds = np.zeros((n, bucket, E), group[0][0].embeds.dtype)
-            mask = np.zeros((n, bucket), np.int32)
+            # n <= num_slots jit variants per bucket, one-time compile cost.
+            # rows were h2d'd at submit(); left-pad on device (no host copy)
+            rows = []
+            mask = np.zeros((len(group), bucket), np.int32)
             for i, (req, _pages) in enumerate(group):
                 S = req.embeds.shape[0]
-                embeds[i, bucket - S:] = req.embeds
+                e = req.dev_embeds if req.dev_embeds is not None else jnp.asarray(req.embeds)
+                rows.append(jnp.pad(e, ((bucket - S, 0), (0, 0))))
                 mask[i, bucket - S:] = 1
             logits, cache = self._prefill_fn(bucket)(
-                self.params, jnp.asarray(embeds), jnp.asarray(mask)
+                self.params, jnp.stack(rows), jnp.asarray(mask)
             )
             n_prompt = bucket // self.page
             for i, (req, pages) in enumerate(group):

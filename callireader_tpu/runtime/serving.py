@@ -53,6 +53,9 @@ class Request:
     # set instead of tokens when the request is rejected at admission (prompt
     # exceeds the cache capacity) — the request fails, never the server
     error: Optional[str] = None
+    # device-resident copy of `embeds`, populated at submit() so the h2d
+    # transfer overlaps the in-flight decode instead of stalling admission
+    dev_embeds: Optional[Any] = None
 
 
 class ContinuousBatcher:
@@ -67,6 +70,7 @@ class ContinuousBatcher:
         use_flash: Optional[bool] = None,
         cache_dtype=jnp.bfloat16,
         steps_per_sync: int = 1,
+        mesh=None,
     ):
         self.params = llm_params
         self.cfg = cfg
@@ -79,12 +83,29 @@ class ContinuousBatcher:
         self.steps_per_sync = max(1, steps_per_sync)
         self.policy = policy
         self.use_flash = use_flash
+        self.mesh = mesh
         shape = (
             cfg.num_hidden_layers, num_slots, cfg.num_key_value_heads,
             max_len, cfg.head_dim,
         )
-        self.cache_k = jnp.zeros(shape, cache_dtype)
-        self.cache_v = jnp.zeros(shape, cache_dtype)
+        if mesh is not None:
+            # sharded serving: the KV cache shards over the tensor axis on
+            # kv-heads (matching the wk/wv projections) so slot memory scales
+            # down with the mesh — required to serve callireader-8b, whose
+            # cache would not fit one chip alongside its weights
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from callireader_tpu.core import partition as part
+
+            spec = part.spec_for_shape(
+                shape, (None, None, "kv_heads", None, None), mesh=mesh
+            )
+            kv_sh = NamedSharding(mesh, spec)
+            self.cache_k = jax.device_put(jnp.zeros(shape, cache_dtype), kv_sh)
+            self.cache_v = jax.device_put(jnp.zeros(shape, cache_dtype), kv_sh)
+        else:
+            self.cache_k = jnp.zeros(shape, cache_dtype)
+            self.cache_v = jnp.zeros(shape, cache_dtype)
         self.lengths = np.zeros(num_slots, np.int64)
         self.starts = np.zeros(num_slots, np.int64)
         self.slot_req: List[Optional[Request]] = [None] * num_slots
@@ -155,6 +176,11 @@ class ContinuousBatcher:
         return cache_k, cache_v
 
     def submit(self, req: Request) -> None:
+        # start the prompt-embed h2d now: it rides the DMA engines under the
+        # decode steps already in flight, so admission later finds the rows
+        # device-resident (prefill pipelining, the batch_prepare trick)
+        if req.dev_embeds is None:
+            req.dev_embeds = jnp.asarray(req.embeds)
         self.queue.append(req)
 
     def _reject(self, req: Request, why: str) -> None:
@@ -197,17 +223,17 @@ class ContinuousBatcher:
         it = iter(free)
         for bucket, reqs in by_bucket.items():
             # jit caches one program per (bucket, n) shape; n <= num_slots
-            # and the persistent compilation cache makes each a one-time cost
-            n = len(reqs)
-            E = reqs[0].embeds.shape[-1]
-            embeds = np.zeros((n, bucket, E), reqs[0].embeds.dtype)
-            mask = np.zeros((n, bucket), np.int32)
+            # and the persistent compilation cache makes each a one-time cost.
+            # rows were h2d'd at submit(); left-pad on device (no host copy)
+            rows = []
+            mask = np.zeros((len(reqs), bucket), np.int32)
             for i, req in enumerate(reqs):
                 S = req.embeds.shape[0]
-                embeds[i, bucket - S:] = req.embeds
+                e = req.dev_embeds if req.dev_embeds is not None else jnp.asarray(req.embeds)
+                rows.append(jnp.pad(e, ((bucket - S, 0), (0, 0))))
                 mask[i, bucket - S:] = 1
             logits, cache = self._prefill_fn(bucket)(
-                self.params, jnp.asarray(embeds), jnp.asarray(mask)
+                self.params, jnp.stack(rows), jnp.asarray(mask)
             )
             for i, req in enumerate(reqs):
                 slot = next(it)

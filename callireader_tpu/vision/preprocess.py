@@ -18,7 +18,7 @@ device receives ready tensors.
 from __future__ import annotations
 
 import io
-from typing import List, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 from PIL import Image, ImageOps
@@ -172,15 +172,31 @@ def char_content_canvas(input_size: int = 448) -> int:
     return max(2, round(350 * input_size / 448))
 
 
-def load_char_content(image: ImageLike, input_size: int = 448) -> np.ndarray:
-    """Bandwidth-lean variant of load_char_slice: the scaled content is
-    white-padded only to the 350px content canvas; the device pads the rest of
-    the way to ``input_size`` (models/internvit.pad_char_content). Bit-exact
-    with load_char_slice because the outer padding is constant white and the
-    centering offsets compose: (canvas-n)//2 + (input-canvas)//2 == (input-n)//2
-    for even input-canvas. Returns (canvas, canvas, 3) uint8."""
-    img = open_image(image)
-    w, h = img.size
+def char_canvas_buckets(input_size: int = 448) -> Tuple[int, ...]:
+    """Content-canvas buckets for char slices. Scaled content is in
+    [200, 350] (load_char_slice semantics), so most chars — anything whose
+    max edge lands at the 200 lower bound — fit the smallest bucket, cutting
+    host-link bytes ~2.5x vs always shipping the 350 canvas. Every bucket
+    keeps (input_size - bucket) even so the on-device outer pad composes
+    bit-exactly with the host centering (see load_char_content)."""
+    out = []
+    for b in (224, 288, 350):
+        b = max(2, round(b * input_size / 448))
+        if (input_size - b) % 2 != 0:
+            b += 1
+        out.append(b)
+    # dedupe while preserving order (tiny input sizes collapse buckets)
+    seen, uniq = set(), []
+    for b in out:
+        if b not in seen:
+            seen.add(b)
+            uniq.append(b)
+    return tuple(uniq)
+
+
+def char_content_dims(w: int, h: int, input_size: int = 448) -> Tuple[int, int]:
+    """Scaled (nw, nh) of a char crop under the [200,350] rule
+    (utils/utils.py:420-452 load_image_2 semantics)."""
     lo = max(1, round(200 * input_size / 448))
     hi = char_content_canvas(input_size)
     m = max(w, h)
@@ -190,9 +206,29 @@ def load_char_content(image: ImageLike, input_size: int = 448) -> np.ndarray:
         scale = hi / m
     else:
         scale = 1.0
-    nw, nh = int(w * scale), int(h * scale)
+    return int(w * scale), int(h * scale)
+
+
+def load_char_content(
+    image: ImageLike, input_size: int = 448, canvas: Optional[int] = None
+) -> np.ndarray:
+    """Bandwidth-lean variant of load_char_slice: the scaled content is
+    white-padded only to a content canvas (<= ~350px); the device pads the
+    rest of the way to ``input_size`` (models/internvit.pad_char_content).
+    Bit-exact with load_char_slice because the outer padding is constant white
+    and the centering offsets compose:
+    (canvas-n)//2 + (input-canvas)//2 == (input-n)//2 for even input-canvas.
+    ``canvas`` defaults to the max content size; pass a char_canvas_buckets
+    entry >= the content size to ship fewer bytes. Returns
+    (canvas, canvas, 3) uint8."""
+    img = open_image(image)
+    w, h = img.size
+    nw, nh = char_content_dims(w, h, input_size)
     img = img.resize((nw, nh), Image.BICUBIC)
-    canvas = hi if (input_size - hi) % 2 == 0 else hi + 1
+    if canvas is None:
+        hi = char_content_canvas(input_size)
+        canvas = hi if (input_size - hi) % 2 == 0 else hi + 1
+    assert canvas >= max(nw, nh) and (input_size - canvas) % 2 == 0
     img = ImageOps.expand(
         img,
         border=(
