@@ -119,6 +119,10 @@ def main(argv=None):
     parser.add_argument("--repetition-penalty", type=float, default=1.0)
     parser.add_argument("--system", type=str, default=None)
     parser.add_argument("--stop-words", type=str, nargs="*", default=[])
+    parser.add_argument("--agent", action="store_true",
+                        help="ReAct agent mode with calculate/solve/search "
+                        "tools (the reference chat tool's --lagent mode, "
+                        "tools/chat.py:172-213)")
     args = parser.parse_args(argv)
 
     from callireader_tpu.cli.common import build_engine
@@ -129,6 +133,19 @@ def main(argv=None):
     )
     history = None
     image = args.image
+    agent = None
+    if args.agent:
+        from callireader_tpu.runtime.agent import ReActAgent
+
+        def _chat_fn(question, hist):
+            return stream_generate(
+                engine, question, hist,
+                max_new_tokens=args.max_new_tokens,
+                repetition_penalty=args.repetition_penalty,
+                stop_words=("Response:",),
+            )
+
+        agent = ReActAgent(_chat_fn)
     print("double enter to end input; 'RESET' clears history, 'EXIT' quits", file=sys.stderr)
     while True:
         try:
@@ -141,9 +158,14 @@ def main(argv=None):
             break
         if text == "RESET":
             history = None
+            if agent is not None:
+                agent.reset()
             print("history cleared", file=sys.stderr)
             continue
         print("assistant> ", end="", flush=True)
+        if agent is not None:
+            print(agent.chat(text))
+            continue
         _, history = stream_generate(
             engine, text, history, image=image if history is None else None,
             max_new_tokens=args.max_new_tokens,

@@ -136,19 +136,206 @@ def pretrain_map_fn(example: Dict) -> Dict:
     return {"conversation": [{"input": "", "output": example["text"]}]}
 
 
+# task system prompts (utils/templates.py SYSTEM_TEMPLATE in the reference)
+SYSTEM_PROMPTS = {
+    "arxiv": (
+        "If you are an expert in writing papers, please generate a good paper "
+        "title for this paper based on other authors' descriptions of their "
+        "abstracts.\n"
+    ),
+    "colorist": (
+        "You are a professional color designer. Please provide the "
+        "corresponding colors based on the description of Human.\n"
+    ),
+    "lawyer": "你现在是一名专业的中国律师，请根据用户的问题给出准确、有理有据的回复。\n",
+}
+
+
+def default_map_fn(example: Dict) -> Dict:
+    """Plain {input, output} rows (default_map_fn in the reference)."""
+    return {"conversation": [{"input": example["input"], "output": example["output"]}]}
+
+
+def arxiv_map_fn(example: Dict) -> Dict:
+    """arXiv title generation: abstract -> title with the gentitle system
+    prompt (arxiv_map_fn.py + SYSTEM_TEMPLATE.arxiv_gentile)."""
+    return {
+        "conversation": [{
+            "system": SYSTEM_PROMPTS["arxiv"],
+            "input": example["abstract"],
+            "output": example["title"],
+        }]
+    }
+
+
+def colors_map_fn(example: Dict) -> Dict:
+    """Color-design rows: strip the 'Color: ...' prefix from the description
+    (colors_map_fn.py)."""
+    desc = ":".join(example["description"].split(":")[1:]).strip()
+    return {
+        "conversation": [{
+            "system": SYSTEM_PROMPTS["colorist"],
+            "input": desc,
+            "output": example["color"],
+        }]
+    }
+
+
+def law_reference_map_fn(example: Dict) -> Dict:
+    return {
+        "conversation": [{
+            "system": SYSTEM_PROMPTS["lawyer"],
+            "input": example["question"],
+            "output": example["answer"],
+        }]
+    }
+
+
+def openorca_map_fn(example: Dict) -> Dict:
+    return {
+        "conversation": [{
+            "system": example["system_prompt"],
+            "input": example["question"],
+            "output": example["response"],
+        }]
+    }
+
+
+def stack_exchange_map_fn(example: Dict) -> Dict:
+    return {
+        "conversation": [{
+            "input": example["question"], "output": example["response"],
+        }]
+    }
+
+
+def llava_map_fn(example: Dict) -> Dict:
+    """LLaVA rows: normalize <image> to a leading token per human turn
+    (llava_map_fn.py llava_map_fn)."""
+    messages = list(example["conversations"])
+    while messages and messages[0]["from"] == "gpt":
+        messages = messages[1:]
+    conv: List[Dict] = []
+    pending = ""
+    for msg in messages:
+        if msg["from"] == "human":
+            value = msg["value"]
+            if "<image>" in value:
+                value = ("<image>\n" + value.replace("<image>", "").strip()).strip()
+            pending += value
+        elif msg["from"] == "gpt":
+            conv.append({"input": pending, "output": msg["value"]})
+            pending = ""
+    return {"conversation": conv}
+
+
+def llava_image_only_map_fn(example: Dict) -> Dict:
+    """Pretrain variant: the input is the <image> token alone
+    (llava_map_fn.py llava_image_only_map_fn)."""
+    messages = list(example["conversations"])
+    while messages and messages[0]["from"] == "gpt":
+        messages = messages[1:]
+    conv: List[Dict] = []
+    pending = ""
+    for msg in messages:
+        if msg["from"] == "human":
+            assert "<image>" in msg["value"]
+            pending += "<image>"
+        elif msg["from"] == "gpt":
+            conv.append({"input": pending, "output": msg["value"]})
+            pending = ""
+    return {"conversation": conv}
+
+
+_THINK_RE = r"(.*?)(<\|startofthink\|\>)(.*?)(<\|endofthink\|\>)"
+_EXEC_RE = r"(<\|startofexec\|\>)(.*?)(<\|endofexec\|\>)(.*?)$"
+
+
+def msagent_react_map_fn(example: Dict) -> Dict:
+    """ModelScope-Agent transcripts -> ReAct-style turns: <|startofthink|>
+    JSON becomes Action/Action Input lines, <|startofexec|> JSON becomes a
+    Response line (msagent_map_fn.py). Invalid rows map to an empty
+    conversation (filtered downstream)."""
+    import re
+
+    def _think(match):
+        out = ""
+        if match.group(1).strip():
+            out += f"Thought:{match.group(1).strip()}\n"
+        blob = match.group(3).replace("```JSON", "").replace("```", "").replace("\n", "")
+        j = json.loads(blob)
+        return out + f"Action:{j['api_name']}\nAction Input:{j['parameters']}\n"
+
+    def _exec(match):
+        blob = match.group(2).replace("```JSON", "").replace("```", "").replace("\n", "")
+        out = f"Response:{json.loads(blob)}\n"
+        if match.group(4).strip():
+            out += f"Final Answer:{match.group(4).strip()}\n"
+        return out
+
+    text = example["conversations"]
+    if isinstance(text, str):
+        text = json.loads(text)
+    if not isinstance(text, list) or len(text) < 2:
+        return {"conversation": []}
+    conv: List[Dict] = []
+    system_text, input_text = "", ""
+    for t in text:
+        role, value = t.get("from"), t.get("value", "")
+        if role == "system":
+            system_text = value
+        elif role == "user":
+            input_text = value
+        elif role == "assistant":
+            import re as _re
+
+            output, response = value, None
+            if "<|startofexec|>" in output:
+                output, response = output.split("<|startofexec|>", 1)
+                response = "<|startofexec|>" + response
+            try:
+                output, n_think = _re.subn(_THINK_RE, _think, output, flags=_re.DOTALL)
+            except Exception:
+                return {"conversation": []}
+            output = f"Final Answer:{output}\n" if n_think == 0 else f"{output}\n"
+            conv.append({"system": system_text, "input": input_text, "output": output})
+            system_text, input_text = "", ""
+            if response is not None:
+                try:
+                    response, _ = _re.subn(_EXEC_RE, _exec, response, flags=_re.DOTALL)
+                    if "Final Answer:" in response:
+                        resp_sys, answer = response.split("Final Answer:")
+                        conv.append({
+                            "system": resp_sys, "input": "",
+                            "output": "Final Answer:" + answer,
+                        })
+                except Exception:
+                    pass
+    return {"conversation": conv}
+
+
 MAP_FNS: Dict[str, MapFn] = {
+    "default": default_map_fn,
     "alpaca": alpaca_map_fn,
     "alpaca_zh": alpaca_zh_map_fn,
+    "arxiv": arxiv_map_fn,
     "code_alpaca": code_alpaca_map_fn,
-    "openai": openai_map_fn,
-    "sharegpt": sharegpt_map_fn,
-    "oasst1": oasst1_map_fn,
-    "wizardlm": wizardlm_map_fn,
-    "tiny_codes": tiny_codes_map_fn,
-    "sql": sql_map_fn,
-    "medical": medical_map_fn,
+    "colors": colors_map_fn,
     "crime_kg_assistant": crime_kg_assistant_map_fn,
+    "law_reference": law_reference_map_fn,
+    "llava": llava_map_fn,
+    "llava_image_only": llava_image_only_map_fn,
+    "medical": medical_map_fn,
+    "msagent_react": msagent_react_map_fn,
+    "oasst1": oasst1_map_fn,
+    "openai": openai_map_fn,
+    "openorca": openorca_map_fn,
     "pretrain": pretrain_map_fn,
+    "sharegpt": sharegpt_map_fn,
+    "sql": sql_map_fn,
+    "stack_exchange": stack_exchange_map_fn,
+    "tiny_codes": tiny_codes_map_fn,
+    "wizardlm": wizardlm_map_fn,
 }
 
 
@@ -163,12 +350,21 @@ def tokenize_conversation(
     conv = build_chat_prompt("x")  # template instance for chrome strings
     input_ids: List[int] = [tokenizer.bos_token_id]
     labels: List[int] = [IGNORE_INDEX]
-    system = conv.system_template.format(system_message=conv.system_message) + conv.sep
+    # a per-dataset system prompt (map_fn "system" key, first turn) replaces
+    # the template default, matching the reference's template_map_fn behavior
+    system_message = conversation[0].get("system") or conv.system_message
+    system = conv.system_template.format(system_message=system_message) + conv.sep
     ids = tokenizer.encode(system, add_bos=False)
     input_ids += ids
     labels += [IGNORE_INDEX] * len(ids)
-    for turn in conversation:
-        prompt = conv.roles[0] + turn["input"] + conv.sep + conv.roles[1]
+    for i, turn in enumerate(conversation):
+        sys_text = turn.get("system") if i > 0 else None
+        prefix = (
+            conv.system_template.format(system_message=sys_text) + conv.sep
+            if sys_text
+            else ""
+        )
+        prompt = prefix + conv.roles[0] + turn["input"] + conv.sep + conv.roles[1]
         ids = tokenizer.encode(prompt, add_bos=False)
         input_ids += ids
         labels += [IGNORE_INDEX] * len(ids)

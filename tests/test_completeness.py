@@ -52,7 +52,15 @@ def test_template_registry():
 def test_map_fns():
     from callireader_tpu.train.sft_data import MAP_FNS
 
-    assert len(MAP_FNS) >= 12
+    # full reference coverage: all 19 dataset_map_fns + default + extras
+    # (/root/reference/train/xtuner/dataset/map_fns/dataset_map_fns/)
+    required = {
+        "default", "alpaca", "alpaca_zh", "arxiv", "code_alpaca", "colors",
+        "crime_kg_assistant", "law_reference", "llava", "llava_image_only",
+        "medical", "msagent_react", "oasst1", "openai", "openorca",
+        "pretrain", "sql", "stack_exchange", "tiny_codes", "wizardlm",
+    }
+    assert required <= set(MAP_FNS), sorted(required - set(MAP_FNS))
     got = MAP_FNS["oasst1"]({"text": "### Human: hi### Assistant: hello"})
     assert got["conversation"] == [{"input": "hi", "output": "hello"}]
     got = MAP_FNS["alpaca_zh"](

@@ -94,3 +94,40 @@ def test_gray_chars_path():
     expected = eng_rgb.encode_char_contents(np.repeat(lum[..., None], 3, axis=-1))
     got = eng_gray.encode_char_contents(chars)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), atol=1e-5)
+
+
+def test_react_agent_loop():
+    """ReAct agent (runtime/agent.py, the reference's --lagent mode): a
+    scripted model calls calculate then emits a final answer; tool output is
+    fed back as a Response block; unknown tools are corrected; force-stop
+    fires after max_turns."""
+    from callireader_tpu.runtime.agent import ReActAgent
+
+    script = iter([
+        "Thought: 需要算一下\nAction: calculate\nAction Input: 6*7\n",
+        "Final Answer: 答案是42",
+    ])
+    seen_prompts = []
+
+    def chat_fn(q, hist):
+        seen_prompts.append(q)
+        return next(script), (hist or []) + [q]
+
+    agent = ReActAgent(chat_fn)
+    assert agent.chat("6乘7是多少") == "答案是42"
+    assert seen_prompts[1].startswith("Response:") and "42" in seen_prompts[1]
+
+    # unknown tool -> corrective Response, then recovery
+    script2 = iter([
+        "Action: google\nAction Input: x\n",
+        "Final Answer: ok",
+    ])
+    agent2 = ReActAgent(lambda q, h: (next(script2), h))
+    assert agent2.chat("q") == "ok"
+
+    # never finalizes -> force stop text reaches the model, last text returned
+    agent3 = ReActAgent(
+        lambda q, h: ("Action: calculate\nAction Input: 1+1\n", h), max_turns=2
+    )
+    out = agent3.chat("loop")
+    assert "Action: calculate" in out  # loop terminated, no hang

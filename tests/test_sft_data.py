@@ -75,3 +75,79 @@ def test_packed_rows_feed_sft_loss(tmp_path):
         policy=FP32_POLICY, use_flash=False, remat=False,
     )
     assert np.isfinite(float(loss))
+
+
+def test_new_map_fns_cover_reference_formats():
+    f = sft_data.MAP_FNS
+    got = f["arxiv"]({"abstract": "We study X.", "title": "On X"})
+    assert got["conversation"][0]["output"] == "On X"
+    assert "paper title" in got["conversation"][0]["system"]
+
+    got = f["colors"]({"description": "Color: deep sea blue", "color": "#003366"})
+    assert got["conversation"][0]["input"] == "deep sea blue"
+
+    got = f["law_reference"]({"question": "合同无效怎么办", "answer": "依据民法典..."})
+    assert "律师" in got["conversation"][0]["system"]
+
+    got = f["openorca"](
+        {"system_prompt": "Be terse.", "question": "2+2?", "response": "4"}
+    )
+    assert got["conversation"][0] == {"system": "Be terse.", "input": "2+2?", "output": "4"}
+
+    got = f["stack_exchange"]({"question": "How?", "response": "Thus."})
+    assert got["conversation"][0]["output"] == "Thus."
+
+    got = f["llava"](
+        {"conversations": [
+            {"from": "human", "value": "what is this <image>"},
+            {"from": "gpt", "value": "a cat"},
+        ]}
+    )
+    assert got["conversation"][0]["input"].startswith("<image>\n")
+
+    got = f["llava_image_only"](
+        {"conversations": [
+            {"from": "human", "value": "<image>"},
+            {"from": "gpt", "value": "a dog"},
+        ]}
+    )
+    assert got["conversation"][0] == {"input": "<image>", "output": "a dog"}
+
+    got = f["default"]({"input": "hi", "output": "yo"})
+    assert got["conversation"][0]["output"] == "yo"
+
+
+def test_msagent_react_map_fn():
+    rows = [
+        {"from": "system", "value": "api list..."},
+        {"from": "user", "value": "翻译这句话"},
+        {"from": "assistant",
+         "value": "<|startofthink|>```JSON{\"api_name\": \"translate\", "
+                  "\"parameters\": {\"text\": \"hi\"}}```<|endofthink|>"
+                  "<|startofexec|>```JSON{\"result\": \"你好\"}```<|endofexec|>"
+                  "你好"},
+    ]
+    got = sft_data.msagent_react_map_fn({"conversations": rows})
+    conv = got["conversation"]
+    assert len(conv) == 2
+    assert "Action:translate" in conv[0]["output"]
+    assert "Action Input:" in conv[0]["output"]
+    assert conv[0]["system"] == "api list..."
+    assert conv[1]["output"].startswith("Final Answer:")
+    assert "Response:" in conv[1]["system"]
+    # invalid transcripts filter to empty
+    assert sft_data.msagent_react_map_fn({"conversations": [rows[0]]}) == {"conversation": []}
+
+
+def test_per_turn_system_prompt_tokenization():
+    from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer
+
+    tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
+    rec = sft_data.openorca_map_fn(
+        {"system_prompt": "Be terse.", "question": "2+2?", "response": "4"}
+    )
+    out = sft_data.tokenize_conversation(rec["conversation"], tok)
+    text = tok.decode(out["input_ids"].tolist(), skip_special_tokens=False)
+    assert "Be terse." in text
+    sup = out["labels"][out["labels"] != -100]
+    assert "4" in tok.decode(sup.tolist())
