@@ -189,7 +189,7 @@ class CalliReaderEngine:
         feats = self._vision_encode(self.params, jnp.asarray(padded))
         return feats[:n]
 
-    def encode_char_contents(self, contents: np.ndarray, chunk: int = 64) -> jax.Array:
+    def encode_char_contents(self, contents: np.ndarray, chunk: int = 128) -> jax.Array:
         """(N, canvas, canvas, 3) uint8 content boxes -> (N, tok, E) features.
         Chunked so chunk i+1's host->device transfer overlaps chunk i's ViT
         compute (async dispatch); the white margin is synthesized on-device."""
@@ -360,11 +360,12 @@ class CalliReaderEngine:
         pseudo, indices = self._resample_vq(self.params, feats, hard_vq=hard_vq)
         n_learns = self.cfg.resampler.num_learns
         pseudo = pseudo[: n * n_learns]  # stays on device (d2h readback is slow)
-        indices = np.asarray(indices[:n])
+        indices = indices[:n]  # device ref — materializing here would sync the
+        # whole vision pipeline per image and serialize the batch overlap
         self.timings.add("vit_resampler_vq", time.time() - t0)
 
         if drop_zero:
-            flat_idx = indices.reshape(-1)
+            flat_idx = np.asarray(indices).reshape(-1)
             keep = flat_idx != 0
             pseudo = np.asarray(pseudo)[keep]
         if verbose:

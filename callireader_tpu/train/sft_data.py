@@ -383,15 +383,27 @@ def process_dataset(
     *,
     map_fn: MapFn | str = "sharegpt",
     max_length: int = 8192,
+    template: Optional[str] = None,
 ) -> List[Dict[str, np.ndarray]]:
-    """origin -> map -> template+tokenize (huggingface.py pipeline stages)."""
+    """origin -> map -> template+tokenize (huggingface.py pipeline stages).
+    ``template``: a train/templates.py PROMPT_TEMPLATES name for non-InternLM2
+    model families; default uses the engine's internlm2-chat conversation."""
     if isinstance(map_fn, str):
         map_fn = MAP_FNS[map_fn]
     out = []
     for rec in records:
         conv = map_fn(rec)["conversation"]
-        if conv:
+        if not conv:
+            continue
+        if template is None:
             out.append(tokenize_conversation(conv, tokenizer, max_length))
+        else:
+            from callireader_tpu.train.templates import tokenize_with_template
+
+            out.append(
+                tokenize_with_template(conv, tokenizer, template, max_length,
+                                       ignore_index=IGNORE_INDEX)
+            )
     return out
 
 

@@ -1,0 +1,87 @@
+"""ViT encode throughput evidence: tiles/sec through the vision tower.
+
+  python scripts/bench_vit.py --preset callireader-2b --tiles 64 --iters 5
+
+Measures the jitted ViT+projector program on a resident tile batch (pure
+device compute) and with fresh host tiles per iter (h2d included). Prints ONE
+JSON line. Run on TPU for the recorded numbers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import json
+import time
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--preset", default="callireader-2b")
+    p.add_argument("--tiles", type=int, default=64)
+    p.add_argument("--iters", type=int, default=5)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from callireader_tpu.core.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from callireader_tpu.core.config import get_config
+    from callireader_tpu.models import internvit, projector
+
+    cfg = get_config(args.preset)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    ks = jax.random.split(jax.random.PRNGKey(0), 2)
+    params = {
+        "vision": internvit.init_params(ks[0], cfg.vision, jnp.bfloat16),
+        "projector": projector.init_params(ks[1], cfg, jnp.bfloat16),
+    }
+
+    @jax.jit
+    def encode(params, pixels):
+        h = internvit.forward(params["vision"], cfg.vision, pixels, use_flash=on_tpu)
+        return projector.extract_feature(params["projector"], h, cfg)
+
+    rng = np.random.RandomState(0)
+    S = cfg.force_image_size
+    tiles = rng.randint(0, 255, (args.tiles, S, S, 3), np.uint8).astype(np.float32)
+    dev_tiles = jnp.asarray(tiles)
+
+    out = encode(params, dev_tiles)
+    _ = np.asarray(out[0, 0, :2])  # sync (block_until_ready lies through the tunnel)
+    print("[bench_vit] warmup done", file=sys.stderr)
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        out = encode(params, dev_tiles)
+    _ = np.asarray(out[0, 0, :2])
+    dev_dt = (time.time() - t0) / args.iters
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        out = encode(params, jnp.asarray(tiles))
+    _ = np.asarray(out[0, 0, :2])
+    h2d_dt = (time.time() - t0) / args.iters
+
+    print(
+        json.dumps({
+            "metric": "vit_tiles_per_sec",
+            "value": round(args.tiles / dev_dt, 2),
+            "unit": "tiles/s",
+            "with_h2d_tiles_per_sec": round(args.tiles / h2d_dt, 2),
+            "tiles": args.tiles,
+            "ms_per_batch_device": round(dev_dt * 1e3, 1),
+            "ms_per_batch_with_h2d": round(h2d_dt * 1e3, 1),
+        })
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -151,3 +151,50 @@ def test_per_turn_system_prompt_tokenization():
     assert "Be terse." in text
     sup = out["labels"][out["labels"] != -100]
     assert "4" in tok.decode(sup.tolist())
+
+
+def test_prompt_template_registry_complete():
+    """All 27 PROMPT_TEMPLATE model families from the reference
+    (train/xtuner/utils/templates.py:8-168) plus the 8 SYSTEM_TEMPLATE task
+    prompts (:170-193)."""
+    from callireader_tpu.train import templates as T
+
+    required = {
+        "default", "zephyr", "internlm_chat", "internlm2_chat", "moss_sft",
+        "llama2_chat", "code_llama_chat", "chatglm2", "chatglm3", "qwen_chat",
+        "baichuan_chat", "baichuan2_chat", "wizardlm", "wizardcoder",
+        "vicuna", "deepseek_coder", "deepseekcoder", "deepseek_moe",
+        "deepseek_v2", "mistral", "mixtral", "minicpm", "gemma",
+        "cohere_chat", "llama3_chat", "phi3_chat",
+    }
+    assert required <= set(T.PROMPT_TEMPLATES), sorted(required - set(T.PROMPT_TEMPLATES))
+    assert {"moss_sft", "alpaca", "arxiv_gentile", "colorist", "coder",
+            "lawyer", "medical", "sql"} <= set(T.SYSTEM_TEMPLATE)
+    # eos/stop-word metadata preserved for the families that define it
+    assert T.PROMPT_TEMPLATES["internlm2_chat"].stop_words == ("<|im_end|>",)
+    assert T.PROMPT_TEMPLATES["llama3_chat"].suffix == "<|eot_id|>"
+    assert T.PROMPT_TEMPLATES["gemma"].suffix_as_eos is False
+
+
+def test_tokenize_with_template_llama3():
+    from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer
+    from callireader_tpu.train.templates import tokenize_with_template
+
+    tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
+    conv = [
+        {"system": "Be brief.", "input": "hi", "output": "hello"},
+        {"input": "more", "output": "ok"},
+    ]
+    out = tokenize_with_template(conv, tok, "llama3_chat")
+    text = tok.decode(out["input_ids"].tolist(), skip_special_tokens=False)
+    assert "<|start_header_id|>system<|end_header_id|>" in text
+    assert text.count("<|start_header_id|>user<|end_header_id|>") == 2
+    sup = out["labels"][out["labels"] != -100]
+    sup_text = tok.decode(sup.tolist(), skip_special_tokens=False)
+    assert "hello<|eot_id|>" in sup_text and "ok<|eot_id|>" in sup_text
+    assert "more" not in sup_text  # prompts unsupervised
+
+    # chatglm2 round numbering
+    out2 = tokenize_with_template(conv, tok, "chatglm2")
+    t2 = tok.decode(out2["input_ids"].tolist(), skip_special_tokens=False)
+    assert "[Round 1]" in t2 and "[Round 2]" in t2
