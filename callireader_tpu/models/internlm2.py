@@ -342,11 +342,14 @@ def prefill(
     policy: DTypePolicy = DEFAULT_POLICY,
     use_flash: Optional[bool] = None,
     interpret: bool = False,
+    mesh=None,
 ) -> Tuple[jax.Array, KVCache]:
     """Process the prompt, build a fresh KV cache of capacity ``max_len``.
 
     Returns (last_logits (B, V), cache). Left-padding via ``attention_mask``:
     padded positions get segment id -1 (never attended) and position 0.
+    ``mesh`` with tensor > 1 routes the flash kernel through the
+    head-sharded shard_map wrapper (parallel/tp_attention.py).
     """
     x = _embed(params, input_ids, inputs_embeds, policy)
     B, S, _ = x.shape
@@ -366,11 +369,22 @@ def prefill(
 
     def attn_fn(q, k, v, idx):
         if use_flash:
-            ctx = flash_attention(
-                q, k, v, causal=True,
-                q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
-                interpret=interpret,
+            from callireader_tpu.parallel.tp_attention import (
+                flash_attention_tp, tp_active,
             )
+
+            if tp_active(mesh):
+                ctx = flash_attention_tp(
+                    q, k, v, mesh, causal=True,
+                    q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+                    interpret=interpret,
+                )
+            else:
+                ctx = flash_attention(
+                    q, k, v, causal=True,
+                    q_segment_ids=segment_ids, kv_segment_ids=segment_ids,
+                    interpret=interpret,
+                )
         else:
             ctx = attention_reference(
                 q, k, v, causal=True,
@@ -401,6 +415,8 @@ def decode_step_multislot(
     starts: Optional[jax.Array] = None,  # (B,) first attendable cache position
     policy: DTypePolicy = DEFAULT_POLICY,
     use_flash: Optional[bool] = None,
+    mesh=None,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Continuous-batching decode: every slot advances one token at its own
     position. Returns (logits (B, V), cache_k, cache_v). The caller updates
@@ -434,8 +450,12 @@ def decode_step_multislot(
         cv = cv.at[idx, batch_idx, :, lengths, :].set(v[:, :, 0, :].astype(cv.dtype))
         if use_flash:
             from callireader_tpu.kernels.decode_attention import flash_decode
+            from callireader_tpu.parallel.tp_attention import flash_decode_tp, tp_active
 
-            ctx = flash_decode(q, ck, cv, idx, kv_valid)
+            if tp_active(mesh):
+                ctx = flash_decode_tp(q, ck, cv, idx, kv_valid, mesh, interpret=interpret)
+            else:
+                ctx = flash_decode(q, ck, cv, idx, kv_valid, interpret=interpret)
         else:
             layer_k = jax.lax.dynamic_index_in_dim(ck, idx, 0, keepdims=False)
             layer_v = jax.lax.dynamic_index_in_dim(cv, idx, 0, keepdims=False)
@@ -468,6 +488,8 @@ def decode_step(
     positions: Optional[jax.Array] = None,  # (B, 1)
     policy: DTypePolicy = DEFAULT_POLICY,
     use_flash: Optional[bool] = None,
+    mesh=None,
+    interpret: bool = False,
 ) -> Tuple[jax.Array, KVCache]:
     """One autoregressive step. Returns (logits (B, V), updated cache)."""
     if use_flash is None:
@@ -507,8 +529,14 @@ def decode_step(
         )
         if use_flash:
             from callireader_tpu.kernels.decode_attention import flash_decode
+            from callireader_tpu.parallel.tp_attention import flash_decode_tp, tp_active
 
-            ctx = flash_decode(q, ck, cv, idx, kv_valid_mask)
+            if tp_active(mesh):
+                ctx = flash_decode_tp(
+                    q, ck, cv, idx, kv_valid_mask, mesh, interpret=interpret
+                )
+            else:
+                ctx = flash_decode(q, ck, cv, idx, kv_valid_mask, interpret=interpret)
         else:
             layer_k = jax.lax.dynamic_index_in_dim(ck, idx, 0, keepdims=False)
             layer_v = jax.lax.dynamic_index_in_dim(cv, idx, 0, keepdims=False)

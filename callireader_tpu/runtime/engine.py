@@ -441,7 +441,7 @@ class CalliReaderEngine:
         tokens, lengths = gen.generate_from_embeds(
             self.params["llm"], self.cfg.llm, embeds, jnp.asarray(mask),
             gen_cfg=gen_cfg, max_cache_len=max_cache,
-            policy=self.policy, use_flash=self.use_flash,
+            policy=self.policy, use_flash=self.use_flash, mesh=self.mesh,
         )
         tokens = np.asarray(tokens)[0]
         n = int(np.asarray(lengths)[0])
@@ -624,7 +624,7 @@ class CalliReaderEngine:
         tokens, lengths = gen.generate_from_embeds(
             self.params["llm"], self.cfg.llm, embeds, jnp.asarray(mask),
             gen_cfg=gen_cfg, max_cache_len=bucket + max_new_tokens,
-            policy=self.policy, use_flash=self.use_flash,
+            policy=self.policy, use_flash=self.use_flash, mesh=self.mesh,
         )
         self.timings.add("dispatch", time.time() - t0)
         return {
@@ -751,7 +751,7 @@ class CalliReaderEngine:
         tokens, lengths = gen.generate_from_embeds(
             self.params["llm"], self.cfg.llm, embeds, jnp.asarray(mask),
             gen_cfg=gen_cfg, max_cache_len=bucket + max_new_tokens,
-            policy=self.policy, use_flash=self.use_flash,
+            policy=self.policy, use_flash=self.use_flash, mesh=self.mesh,
         )
         tokens, lengths = np.asarray(tokens), np.asarray(lengths)
         out = []

@@ -75,7 +75,7 @@ def _sample(logits: jax.Array, gen_cfg: GenerateConfig, key: jax.Array) -> jax.A
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "gen_cfg", "max_cache_len", "use_flash", "policy"),
+    static_argnames=("cfg", "gen_cfg", "max_cache_len", "use_flash", "policy", "mesh"),
     donate_argnames=(),
 )
 def generate_from_embeds(
@@ -89,6 +89,7 @@ def generate_from_embeds(
     rng: Optional[jax.Array] = None,
     policy: DTypePolicy = DEFAULT_POLICY,
     use_flash: Optional[bool] = None,
+    mesh=None,  # tensor>1: head-sharded flash kernels (parallel/tp_attention)
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (tokens (B, max_new_tokens) int32 — pad after eos,
     lengths (B,) int32 — generated count incl. eos)."""
@@ -103,6 +104,7 @@ def generate_from_embeds(
         max_len=max_cache_len,
         policy=policy,
         use_flash=use_flash,
+        mesh=mesh,
     )
 
     # KV validity for decode: prompt slots where mask==1, then growth region.
@@ -137,6 +139,7 @@ def generate_from_embeds(
             kv_valid_mask=kv_valid,
             policy=policy,
             use_flash=use_flash,
+            mesh=mesh,
         )
         return cache, logits, seen, tokens, new_done, lengths, kv_valid, i + 1, key
 

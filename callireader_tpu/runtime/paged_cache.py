@@ -139,7 +139,7 @@ class PagedBatcher:
                 lambda p, e, m: internlm2.prefill(
                     p, self.cfg, inputs_embeds=e, attention_mask=m, max_len=bucket,
                     policy=self.policy, use_flash=self.use_flash,
-                    cache_dtype=self.kpool.dtype,
+                    cache_dtype=self.kpool.dtype, mesh=self.mesh,
                 )
             )
         return self._prefill_cache[bucket]
@@ -194,9 +194,19 @@ class PagedBatcher:
                 )
             )
             if use_pallas:
-                ctx = paged_flash_decode(
-                    q, kpool, vpool, idx, page_table, valid, interpret=self.interpret
+                from callireader_tpu.parallel.tp_attention import (
+                    paged_flash_decode_tp, tp_active,
                 )
+
+                if tp_active(self.mesh):
+                    ctx = paged_flash_decode_tp(
+                        q, kpool, vpool, idx, page_table, valid, self.mesh,
+                        interpret=self.interpret,
+                    )
+                else:
+                    ctx = paged_flash_decode(
+                        q, kpool, vpool, idx, page_table, valid, interpret=self.interpret
+                    )
             else:
                 ctx = self._xla_paged_attention(q, kpool, vpool, idx, page_table, valid)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, -1)

@@ -122,7 +122,7 @@ class ContinuousBatcher:
             lambda p, ids, ck, cv, lengths, active, starts: internlm2.decode_step_multislot(
                 p, cfg, input_ids=ids, cache_k=ck, cache_v=cv,
                 lengths=lengths, active=active, starts=starts, policy=policy,
-                use_flash=use_flash,
+                use_flash=use_flash, mesh=mesh,
             )
         )
         self._insert = jax.jit(self._insert_impl, donate_argnums=(1, 2))
@@ -143,6 +143,7 @@ class ContinuousBatcher:
                     p, self.cfg, inputs_embeds=e, attention_mask=m,
                     max_len=self.max_len, policy=self.policy,
                     use_flash=self.use_flash, cache_dtype=self.cache_k.dtype,
+                    mesh=self.mesh,
                 )
             )
         return self._prefill_cache[bucket]
@@ -156,7 +157,7 @@ class ContinuousBatcher:
             logits, ck, cv = internlm2.decode_step_multislot(
                 params, self.cfg, input_ids=toks[:, None], cache_k=ck,
                 cache_v=cv, lengths=lengths, active=active, starts=starts,
-                policy=self.policy, use_flash=self.use_flash,
+                policy=self.policy, use_flash=self.use_flash, mesh=self.mesh,
             )
             new_toks, seen = _pick_tokens(logits, seen, pens)
             lengths = lengths + active.astype(lengths.dtype)

@@ -51,7 +51,9 @@ def main(argv=None):
 
     rng = np.random.RandomState(0)
     S = cfg.force_image_size
-    tiles = rng.randint(0, 255, (args.tiles, S, S, 3), np.uint8).astype(np.float32)
+    # ship uint8 like the engine (vision/preprocess load_image as_uint8) —
+    # 4x fewer h2d bytes than f32; the ViT normalizes on device
+    tiles = rng.randint(0, 255, (args.tiles, S, S, 3)).astype(np.uint8)
     dev_tiles = jnp.asarray(tiles)
 
     out = encode(params, dev_tiles)

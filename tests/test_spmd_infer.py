@@ -196,3 +196,46 @@ def test_8b_width_sharded_prefill_and_decode():
         use_flash=False,
     )
     assert np.isfinite(np.asarray(step_logits, np.float32)).all()
+
+
+@needs_8_devices
+def test_tp_flash_attention_parity():
+    """shard_map-wrapped flash kernels (parallel/tp_attention.py): prefill +
+    decode_step with heads split over tensor=2 must match the unsharded
+    reference-attention path (interpret-mode Pallas on CPU)."""
+    params = _params()
+    mesh = _mesh()
+    sharded = _sharded(params, mesh)
+    B, S, max_len = 2, 16, 32
+    ids = np.random.RandomState(3).randint(10, 900, (B, S)).astype(np.int32)
+    e = internlm2.embed_tokens(params, jnp.asarray(ids), jnp.float32)
+    mask = jnp.ones((B, S), jnp.int32)
+
+    ref_logits, ref_cache = internlm2.prefill(
+        params, CFG, inputs_embeds=e, attention_mask=mask, max_len=max_len,
+        policy=FP32_POLICY, use_flash=False, cache_dtype=jnp.float32,
+    )
+    tp_logits, tp_cache = internlm2.prefill(
+        sharded, CFG, inputs_embeds=jnp.asarray(np.asarray(e)),
+        attention_mask=mask, max_len=max_len,
+        policy=FP32_POLICY, use_flash=True, interpret=True, mesh=mesh,
+        cache_dtype=jnp.float32,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp_logits), np.asarray(ref_logits), rtol=2e-4, atol=2e-4
+    )
+    # cache shards over kv-heads via propagation from the sharded wk/wv
+    assert tp_cache.k.addressable_shards[0].data.shape[2] == CFG.num_key_value_heads // 2
+
+    tok = jnp.argmax(ref_logits, axis=-1)[:, None].astype(jnp.int32)
+    ref_step, _ = internlm2.decode_step(
+        params, CFG, input_ids=tok, cache=ref_cache,
+        policy=FP32_POLICY, use_flash=False,
+    )
+    tp_step, _ = internlm2.decode_step(
+        sharded, CFG, input_ids=tok, cache=tp_cache,
+        policy=FP32_POLICY, use_flash=True, interpret=True, mesh=mesh,
+    )
+    np.testing.assert_allclose(
+        np.asarray(tp_step), np.asarray(ref_step), rtol=2e-4, atol=2e-4
+    )
