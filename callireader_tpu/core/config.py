@@ -66,6 +66,10 @@ class LLMConfig:
     # Dynamic-NTK only changes the base when seq_len > max_position_embeddings
     # (modeling_internlm2.py:205-233); CalliReader sequences never get close, so
     # at matching lengths this is exactly vanilla RoPE.
+    # when the vocab tables are padded (pad_vocab, for even sharding over the
+    # tensor axis), ids >= real_vocab_size carry -inf logits so greedy/sample
+    # decode can never emit them; None = no padding
+    real_vocab_size: Optional[int] = None
     rope_scaling_type: Optional[str] = "dynamic"
     rope_scaling_factor: float = 2.0
     tie_word_embeddings: bool = False

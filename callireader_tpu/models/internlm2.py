@@ -263,11 +263,38 @@ def _embed(params, input_ids, inputs_embeds, policy):
     return inputs_embeds.astype(policy.compute_dtype)
 
 
-def _logits(params, x, policy):
+def _logits(params, x, policy, cfg: Optional[LLMConfig] = None):
     if "output_q" in params:
         y = x @ params["output_q"].T.astype(x.dtype)
-        return (y * params["output_scale"][:, 0].astype(x.dtype)).astype(policy.logits_dtype)
-    return (x @ params["output"].T.astype(x.dtype)).astype(policy.logits_dtype)
+        y = (y * params["output_scale"][:, 0].astype(x.dtype)).astype(policy.logits_dtype)
+    else:
+        y = (x @ params["output"].T.astype(x.dtype)).astype(policy.logits_dtype)
+    if cfg is not None and cfg.real_vocab_size is not None and cfg.real_vocab_size < y.shape[-1]:
+        # padded vocab rows (pad_vocab) must never win argmax/sampling
+        pad_mask = jnp.arange(y.shape[-1]) >= cfg.real_vocab_size
+        y = jnp.where(pad_mask, jnp.finfo(y.dtype).min, y)
+    return y
+
+
+def pad_vocab(params: Params, cfg: LLMConfig, multiple: int) -> Tuple[Params, LLMConfig]:
+    """Zero-pad the vocab tables to a multiple of ``multiple`` so the "vocab"
+    logical axis shards evenly over the tensor mesh axis (92553 is odd; the
+    replication fallback costs ~1.5 GB/chip in bf16 on the 8B). The returned
+    config records ``real_vocab_size`` so _logits masks the pad rows."""
+    if cfg.vocab_size % multiple == 0:
+        return params, cfg
+    V = cfg.vocab_size
+    Vp = -(-V // multiple) * multiple
+    out = dict(params)
+    for name in ("tok_embeddings", "output", "tok_embeddings_q", "output_q",
+                 "tok_embeddings_scale", "output_scale"):
+        if name in out:
+            w = out[name]
+            out[name] = jnp.pad(w, ((0, Vp - V),) + ((0, 0),) * (w.ndim - 1))
+    return out, dataclasses.replace(
+        cfg, vocab_size=Vp,
+        real_vocab_size=cfg.real_vocab_size if cfg.real_vocab_size is not None else V,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -327,7 +354,7 @@ def forward(
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
     if return_hidden:
         return x
-    return _logits(params, x, policy)
+    return _logits(params, x, policy, cfg)
 
 
 def prefill(
@@ -397,7 +424,7 @@ def prefill(
 
     x, (ck, cv) = _run_layers(params, cfg, x, cos, sin, attn_fn, policy)
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
-    last_logits = _logits(params, x[:, -1:, :], policy)[:, 0]
+    last_logits = _logits(params, x[:, -1:, :], policy, cfg)[:, 0]
 
     cache = KVCache(k=ck, v=cv, length=jnp.asarray(S, jnp.int32))
     return last_logits, cache
@@ -472,7 +499,7 @@ def decode_step_multislot(
         body, (x, cache_k, cache_v, jnp.zeros((), jnp.int32)), params["layers"]
     )
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
-    logits = _logits(params, x, policy)[:, 0]
+    logits = _logits(params, x, policy, cfg)[:, 0]
     del active  # masking is the caller's concern; kept in the API for clarity
     return logits, ck, cv
 
@@ -554,7 +581,7 @@ def decode_step(
         body, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)), params["layers"]
     )
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
-    logits = _logits(params, x, policy)[:, 0]
+    logits = _logits(params, x, policy, cfg)[:, 0]
     return logits, KVCache(k=ck, v=cv, length=cache.length + 1)
 
 

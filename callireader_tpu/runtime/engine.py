@@ -84,7 +84,6 @@ class CalliReaderEngine:
         gray_chars: bool = True,
         mesh=None,
     ):
-        self.cfg = cfg
         self.mesh = mesh
         if mesh is not None and any(int(v) > 1 for v in mesh.shape.values()):
             # SPMD inference: commit every param leaf to its logical-axis
@@ -93,10 +92,19 @@ class CalliReaderEngine:
             # (15GB bf16 LLM) servable across chips — the reference's only
             # analogue is single-GPU device_map loading
             # (modeling_internvl_chat.py:134).
+            from callireader_tpu.models import internlm2 as internlm2_mod
             from callireader_tpu.parallel import spmd as spmd_mod
 
+            tensor = int(mesh.shape.get("tensor", 1))
+            if tensor > 1 and cfg.llm.vocab_size % tensor != 0:
+                # pad the odd vocab so the 1.5GB (8B bf16) tables shard
+                # instead of replicating; pad-row logits are masked to -inf
+                llm_p, llm_cfg = internlm2_mod.pad_vocab(params["llm"], cfg.llm, tensor)
+                params = {**params, "llm": llm_p}
+                cfg = dataclasses.replace(cfg, llm=llm_cfg)
             axes = spmd_mod.engine_logical_axes(cfg, params)
             params = spmd_mod.shard_tree(params, axes, mesh)
+        self.cfg = cfg
         self.params = params
         self.tok = tokenizer
         self.policy = policy

@@ -218,7 +218,7 @@ class PagedBatcher:
             body, (x, kpool, vpool, jnp.zeros((), jnp.int32)), params["layers"]
         )
         x = internlm2.rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
-        logits = internlm2._logits(params, x, policy)[:, 0]
+        logits = internlm2._logits(params, x, policy, cfg)[:, 0]
         return logits, kpool, vpool
 
     def _derive_step_arrays(self, page_table, lengths, starts):

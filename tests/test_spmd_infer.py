@@ -239,3 +239,37 @@ def test_tp_flash_attention_parity():
     np.testing.assert_allclose(
         np.asarray(tp_step), np.asarray(ref_step), rtol=2e-4, atol=2e-4
     )
+
+
+@needs_8_devices
+def test_pad_vocab_shards_and_masks():
+    """pad_vocab: tables pad to a tensor-divisible size, pad rows shard, and
+    greedy decode can never emit a padded id (logits masked to -inf) —
+    token-exact vs the unpadded model."""
+    params = _params()
+    mesh = _mesh()
+    padded, cfg_p = internlm2.pad_vocab(params, CFG, 16)
+    assert cfg_p.vocab_size % 16 == 0 and cfg_p.real_vocab_size == CFG.vocab_size
+    sharded = spmd.shard_tree(padded, internlm2.logical_axes(cfg_p), mesh)
+
+    ids = np.random.RandomState(4).randint(10, 900, (2, 12)).astype(np.int32)
+    e = internlm2.embed_tokens(params, jnp.asarray(ids), jnp.float32)
+    gc = gen.GenerateConfig(max_new_tokens=6, eos_token_ids=(-1,))
+    t0, _ = gen.generate_from_embeds(
+        params, CFG, e, jnp.ones((2, 12), jnp.int32),
+        gen_cfg=gc, max_cache_len=32, policy=FP32_POLICY, use_flash=False,
+    )
+    t1, _ = gen.generate_from_embeds(
+        sharded, cfg_p, jnp.asarray(np.asarray(e)), jnp.ones((2, 12), jnp.int32),
+        gen_cfg=gc, max_cache_len=32, policy=FP32_POLICY, use_flash=False,
+    )
+    assert np.array_equal(np.asarray(t0), np.asarray(t1))
+    assert (np.asarray(t1) < CFG.vocab_size).all()
+
+    # logits at padded ids are -inf
+    logits, _ = internlm2.prefill(
+        sharded, cfg_p, input_ids=jnp.asarray(ids),
+        attention_mask=jnp.ones((2, 12), jnp.int32), max_len=32,
+        policy=FP32_POLICY, use_flash=False,
+    )
+    assert np.all(np.asarray(logits)[:, CFG.vocab_size:] < -1e30)
