@@ -213,6 +213,21 @@ def forward_features(params: Params, x: jax.Array) -> Tuple[jax.Array, jax.Array
     return u3, d4, d5
 
 
+def forward_raw(params: Params, cfg: DetectorConfig, x: jax.Array):
+    """Per-scale raw head outputs for training (train/detector_train.py):
+    [(box_logits (B,Hs,Ws,4*reg_max), cls_logits (B,Hs,Ws,nc), stride)]."""
+    feats = forward_features(params, x)
+    h = params["head"]
+    out = []
+    for feat, name, stride in zip(feats, ("p3", "p4", "p5"), (8, 16, 32)):
+        out.append((
+            _head_branch(h[name]["box"], feat),
+            _head_branch(h[name]["cls"], feat),
+            stride,
+        ))
+    return out
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def forward(params: Params, cfg: DetectorConfig, x: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """x (B, S, S, 3) normalized [0,1] -> (boxes_xyxy (B, N, 4) in input px,

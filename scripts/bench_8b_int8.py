@@ -57,10 +57,19 @@ def main(argv=None):
     rng = np.random.RandomState(0)
 
     def ship(name, shape, scale_axis):
-        """host random init (0.02 std) -> int8 quantize -> device."""
-        w = (rng.standard_normal(shape).astype(np.float32) * 0.02)
-        q, s = _quant_rows(w, scale_axis)
-        del w
+        """host random init (0.02 std) -> int8 quantize -> device. Layers are
+        generated once and tiled over the stack axis: identical layer weights
+        change nothing about memory footprint or per-step HBM traffic, and cut
+        the 1-core host init ~L-fold."""
+        if len(shape) == 3:  # (L, in, out) stacked
+            w1 = rng.standard_normal(shape[1:]).astype(np.float32) * 0.02
+            q1, s1 = _quant_rows(w1, 0)
+            q = np.broadcast_to(q1[None], shape)
+            s = np.broadcast_to(s1[None], (shape[0],) + s1.shape)
+        else:
+            w = rng.standard_normal(shape).astype(np.float32) * 0.02
+            q, s = _quant_rows(w, scale_axis)
+            del w
         return jnp.asarray(q), jnp.asarray(s)
 
     t0 = time.time()
