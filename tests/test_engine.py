@@ -95,3 +95,24 @@ def test_prompt_contains_aligned_tokens(engine, monkeypatch):
     n_ctx = int((ids == CFG.img_context_token_id).sum())
     assert n_aligned == 2 * CFG.resampler.num_learns
     assert n_ctx > 0 and n_ctx % CFG.num_image_token == 0
+
+
+@pytest.mark.slow
+def test_full_decode_budget_1024(engine):
+    """The full 1024-token budget path: fused while_loop decodes to the cap
+    without eos (random weights + eos disabled), lengths == budget, memory
+    behavior exercised at prompt-bucket + 1024 cache."""
+    from callireader_tpu.runtime import generate as gen
+    from callireader_tpu.models import internlm2
+
+    ids = np.asarray(engine.tok.encode("读出图中所有文字。"), np.int32)
+    bucket = gen.bucket_length(len(ids))
+    embeds, mask_row = engine._build_row_embeds(ids, None, None, bucket)
+    gcfg = gen.GenerateConfig(max_new_tokens=1024, eos_token_ids=(-1,))
+    toks, lengths = gen.generate_from_embeds(
+        engine.params["llm"], engine.cfg.llm, embeds, jnp.asarray(mask_row),
+        gen_cfg=gcfg, max_cache_len=bucket + 1024,
+        policy=engine.policy, use_flash=False,
+    )
+    assert int(np.asarray(lengths)[0]) == 1024
+    assert np.asarray(toks).shape == (1, 1024)

@@ -70,3 +70,39 @@ def test_serve_jsonl(tmp_path):
     )
     lines3 = [json.loads(l) for l in open(out3)]
     assert lines3 == lines
+
+
+@pytest.mark.slow
+def test_serve_jsonl_sharded_mesh(tmp_path):
+    """serve CLI with --mesh: SPMD engine + sharded-cache batcher end-to-end
+    on the virtual 8-device platform, same responses as unsharded."""
+    if len(__import__("jax").devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    reqs = [
+        {"id": "a", "question": "你好", "max_new_tokens": 3},
+        {"id": "b", "question": "作者是谁？", "max_new_tokens": 2},
+    ]
+    inp = tmp_path / "in.jsonl"
+    inp.write_text("\n".join(json.dumps(r, ensure_ascii=False) for r in reqs))
+
+    from callireader_tpu.cli import serve
+
+    out_plain = tmp_path / "plain.jsonl"
+    serve.main([
+        "--input", str(inp), "--output", str(out_plain),
+        "--slots", "2", "--max-len", "512",
+        "--preset", "callireader-tiny", "--random-init",
+    ])
+    out_mesh = tmp_path / "mesh.jsonl"
+    serve.main([
+        "--input", str(inp), "--output", str(out_mesh),
+        "--slots", "2", "--max-len", "512",
+        "--preset", "callireader-tiny", "--random-init",
+        "--mesh", "tensor=2,fsdp=2,data=2",
+    ])
+    plain = [json.loads(l) for l in open(out_plain)]
+    mesh = [json.loads(l) for l in open(out_mesh)]
+    assert [l["id"] for l in mesh] == ["a", "b"]
+    assert all(isinstance(l["response"], str) for l in mesh)
+    # bf16 random weights: responses should match the unsharded run
+    assert mesh == plain
