@@ -307,21 +307,31 @@ class Detector:
         self.cfg = cfg
 
     def __call__(self, image_array: np.ndarray) -> List[List[float]]:
+        return self.batch([image_array])[0]
+
+    def batch(self, images: List[np.ndarray]) -> List[List[List[float]]]:
+        """One forward for N letterboxed pages (amortizes the dispatch and
+        fills the MXU), then per-image host NMS + unletterbox."""
         cfg = self.cfg
-        img, scale, (px, py) = letterbox(image_array, cfg.img_size)
-        boxes, scores = forward(self.params, cfg, jnp.asarray(img[None]))
-        boxes = np.asarray(boxes[0])
-        scores = np.asarray(scores[0])
-        m = scores >= cfg.conf_threshold
-        boxes, scores = boxes[m], scores[m]
-        if len(boxes) == 0:
-            return []
-        keep = nms_numpy(boxes, scores, cfg.iou_threshold, cfg.max_detections)
-        boxes = boxes[keep]
-        # undo letterbox
-        boxes[:, [0, 2]] = (boxes[:, [0, 2]] - px) / scale
-        boxes[:, [1, 3]] = (boxes[:, [1, 3]] - py) / scale
-        h, w = image_array.shape[:2]
-        boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
-        boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
-        return boxes.tolist()
+        metas = [letterbox(im, cfg.img_size) for im in images]
+        stack = np.stack([m[0] for m in metas])
+        all_boxes, all_scores = forward(self.params, cfg, jnp.asarray(stack))
+        all_boxes = np.asarray(all_boxes)
+        all_scores = np.asarray(all_scores)
+        out: List[List[List[float]]] = []
+        for i, (image_array, (_, scale, (px, py))) in enumerate(zip(images, metas)):
+            boxes, scores = all_boxes[i], all_scores[i]
+            m = scores >= cfg.conf_threshold
+            boxes, scores = boxes[m], scores[m]
+            if len(boxes) == 0:
+                out.append([])
+                continue
+            keep = nms_numpy(boxes, scores, cfg.iou_threshold, cfg.max_detections)
+            boxes = boxes[keep].copy()
+            boxes[:, [0, 2]] = (boxes[:, [0, 2]] - px) / scale
+            boxes[:, [1, 3]] = (boxes[:, [1, 3]] - py) / scale
+            h, w = image_array.shape[:2]
+            boxes[:, [0, 2]] = boxes[:, [0, 2]].clip(0, w)
+            boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
+            out.append(boxes.tolist())
+        return out

@@ -145,17 +145,9 @@ def postprocess(results: Dict[int, List[float]], width: float, height: float) ->
     return results
 
 
-def predict(
-    params: Params,
-    cfg: OrderFormerConfig,
-    shapes: List[Dict],  # labelme-style [{"points": [[x1,y1],[x2,y2]]}, ...]
-    image_width: float,
-    image_height: float,
-) -> Dict[int, List[float]]:
-    """Returns {rank: [x1,y1,x2,y2]} sorted by rank (models/model.py:419-488)."""
-    if not shapes:
-        return {}
-    w, h = image_width, image_height
+def _prep_inputs(cfg: OrderFormerConfig, shapes: List[Dict], w: float, h: float):
+    """shapes -> (model input row (max_boxes, input_dim), ordered flat labels)
+    — the host half of predict (models/model.py:419-457)."""
     entries = []
     xs, ys = [], []
     for obj in shapes:
@@ -175,18 +167,59 @@ def predict(
     norm.sort(key=lambda x: ((x[0][0] + x[0][2]) / 2) ** 2 + ((x[0][1] + x[0][3]) / 2) ** 2)
 
     n = min(len(norm), cfg.max_boxes)
-    inputs = np.zeros((1, cfg.max_boxes, cfg.input_dim), np.float32)
+    row = np.zeros((cfg.max_boxes, cfg.input_dim), np.float32)
     labels = []
     for i, (coord, flat) in enumerate(norm[:n]):
-        inputs[0, i] = coord
+        row[i] = coord
         labels.append(flat)
+    return row, labels
 
-    scores = np.asarray(forward(params, cfg, jnp.asarray(inputs)))
-    ranks = _decode_ranks(scores, n)
+
+def _decode_result(scores_row, labels, w, h) -> Dict[int, List[float]]:
+    ranks = _decode_ranks(scores_row[None], len(labels))
     results = {int(r): l for r, l in zip(ranks, labels)}
     results = dict(sorted(results.items()))
     results = postprocess(results, w, h)
     return dict(sorted(results.items()))
+
+
+def predict(
+    params: Params,
+    cfg: OrderFormerConfig,
+    shapes: List[Dict],  # labelme-style [{"points": [[x1,y1],[x2,y2]]}, ...]
+    image_width: float,
+    image_height: float,
+) -> Dict[int, List[float]]:
+    """Returns {rank: [x1,y1,x2,y2]} sorted by rank (models/model.py:419-488)."""
+    return predict_batch(params, cfg, [(shapes, image_width, image_height)])[0]
+
+
+def predict_batch(
+    params: Params,
+    cfg: OrderFormerConfig,
+    pages: List,  # [(shapes, image_width, image_height), ...]
+) -> List[Dict[int, List[float]]]:
+    """One forward for N pages' column sets (amortizes the dispatch; the
+    model already takes (B, max_boxes, input_dim))."""
+    rows, metas = [], []
+    for shapes, w, h in pages:
+        if not shapes:
+            metas.append(None)
+            continue
+        row, labels = _prep_inputs(cfg, shapes, w, h)
+        metas.append((len(rows), labels, w, h))
+        rows.append(row)
+    if not rows:
+        return [{} for _ in pages]
+    scores = np.asarray(forward(params, cfg, jnp.asarray(np.stack(rows))))
+    out = []
+    for meta in metas:
+        if meta is None:
+            out.append({})
+            continue
+        i, labels, w, h = meta
+        out.append(_decode_result(scores[i], labels, w, h))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -318,6 +318,139 @@ class CalliReaderEngine:
             final.extend(lst)
         return final
 
+    def batch_sort_boxes(self, images: Sequence[np.ndarray], thres: float = 0.8):
+        """sort_boxes over N pages with ONE detector forward and ONE
+        OrderFormer forward (pages that saturate the detector, >250 boxes,
+        fall back to the per-image iterative-masking path). Returns a list of
+        reading-ordered flat box lists."""
+        det_batch = getattr(self.detector, "batch", None)
+        if det_batch is not None:
+            dets = det_batch(list(images))
+        else:  # stub detectors in tests/benches are plain callables
+            dets = [self.detector(im) for im in images]
+
+        results: List[Optional[List[List[float]]]] = [None] * len(images)
+        pages = []
+        page_owner = []
+        char_boxes_per = [None] * len(images)
+        for i, (img, flat) in enumerate(zip(images, dets)):
+            if len(flat) > 250:
+                # saturated first pass: the masking loop is inherently serial
+                results[i] = self.sort_boxes(img, thres)
+                continue
+            h, w = img.shape[:2]
+            pair = [
+                [[max(b[0], 0), max(b[1], 0)], [min(b[2], w), min(b[3], h)]]
+                for b in flat
+            ]
+            char_boxes = boxes_mod.dedup_boxes_iou(pair, 0.8)
+            if not char_boxes:
+                results[i] = []
+                continue
+            data = boxes_mod.char2col_with_kmeans(char_boxes, w, h)
+            pages.append((data["shapes"], w, h))
+            page_owner.append(i)
+            char_boxes_per[i] = char_boxes
+        if pages:
+            orders = orderformer.predict_batch(
+                self.params["orderformer"], self.cfg.orderformer, pages
+            )
+            for owner, col_order in zip(page_owner, orders):
+                final: List[List[float]] = []
+                for _, col in col_order.items():
+                    lst = []
+                    for item in char_boxes_per[owner]:
+                        fb = [item[0][0], item[0][1], item[1][0], item[1][1]]
+                        if boxes_mod.calculate_iou(col, fb, mini=True) >= thres:
+                            lst.append(fb)
+                    lst.sort(key=lambda b: (b[1] + b[3]) / 2)
+                    final.extend(lst)
+                results[owner] = final
+        return results
+
+    def batch_calli_align(
+        self,
+        images: Sequence[np.ndarray],
+        *,
+        drop_zero: bool = False,
+        hard_vq: bool = False,
+    ) -> List[Tuple[Optional[Any], Optional[Any]]]:
+        """calli_align over N pages with batched device programs: one
+        detector + one OrderFormer forward, canvas-bucket-grouped char
+        encodes over the UNION of all pages' crops, chunked resampler+VQ.
+        Per-page outputs identical to calli_align (tests/test_engine_extras).
+        """
+        t0 = time.time()
+        ordered_lists = self.batch_sort_boxes(images)
+        self.timings.add("yolo_orderformer", time.time() - t0)
+
+        t0 = time.time()
+        all_crops: List[np.ndarray] = []
+        counts = []
+        for img, ordered in zip(images, ordered_lists):
+            n0 = len(all_crops)
+            for x1, y1, x2, y2 in ordered or []:
+                x1, y1, x2, y2 = int(x1), int(y1), int(x2), int(y2)
+                if x2 <= x1 or y2 <= y1:
+                    continue
+                all_crops.append(img[y1:y2, x1:x2])
+            counts.append(len(all_crops) - n0)
+        self.timings.add("char_crops", time.time() - t0)
+        if not all_crops:
+            return [(None, None)] * len(images)
+
+        # windowed over the global (reading-order, image-major) crop list:
+        # each <=256-crop window is canvas-grouped, encoded, reordered, and
+        # resampled immediately so the (n, 256, E) ViT features never exceed
+        # one window (a full 8-page batch would hold >1.5GB of features and
+        # thrash HBM next to the in-flight decode's KV cache)
+        n_learns = self.cfg.resampler.num_learns
+        n_total = len(all_crops)
+        win = CHAR_BUCKETS[-1]
+        pseudos, indices = [], []
+        for lo in range(0, n_total, win):
+            t0 = time.time()
+            window = all_crops[lo : lo + win]
+            groups = self._prep_char_crop_groups(window)
+            self.timings.add("char_crops", time.time() - t0)
+            t0 = time.time()
+            if len(groups) == 1:
+                idxs, stack = groups[0]
+                feats = self.encode_char_contents(stack)
+                if not np.array_equal(idxs, np.arange(len(window))):
+                    feats = feats[jnp.argsort(jnp.asarray(idxs))]
+            else:
+                parts = [self.encode_char_contents(stack) for _, stack in groups]
+                all_idx = np.concatenate([idxs for idxs, _ in groups])
+                feats = jnp.concatenate(parts, axis=0)[jnp.argsort(jnp.asarray(all_idx))]
+            n = feats.shape[0]
+            fpad, _ = preprocess.pad_to_bucket(np.zeros((n, 1, 1, 1), np.uint8), CHAR_BUCKETS)
+            if fpad.shape[0] != n:
+                feats = jnp.concatenate(
+                    [feats, jnp.zeros((fpad.shape[0] - n,) + feats.shape[1:], feats.dtype)]
+                )
+            ps, idx = self._resample_vq(self.params, feats, hard_vq=hard_vq)
+            pseudos.append(ps[: n * n_learns])
+            indices.append(idx[:n])
+            self.timings.add("vit_resampler_vq", time.time() - t0)
+        pseudo_all = pseudos[0] if len(pseudos) == 1 else jnp.concatenate(pseudos)
+        idx_all = indices[0] if len(indices) == 1 else jnp.concatenate(indices)
+
+        out: List[Tuple[Optional[Any], Optional[Any]]] = []
+        off = 0
+        for count, ordered in zip(counts, ordered_lists):
+            if ordered is None or count == 0:
+                out.append((None, None))
+                continue
+            pseudo = pseudo_all[off * n_learns : (off + count) * n_learns]
+            idx = idx_all[off : off + count]
+            off += count
+            if drop_zero:
+                keep = np.asarray(idx).reshape(-1) != 0
+                pseudo = np.asarray(pseudo)[keep]
+            out.append((pseudo, idx))
+        return out
+
     def calli_align(
         self,
         image: np.ndarray,
@@ -557,6 +690,7 @@ class CalliReaderEngine:
         hard_vq: bool = False,
         repetition_penalty: float = 1.5,
         max_new_tokens: int = 1024,
+        eos_token_ids: Optional[Tuple[int, ...]] = None,
     ):
         """Batched full chat_ocr: per-image slicing priors + CalliAlign run
         back-to-back (device stays busy across images via bucketed programs),
@@ -569,8 +703,93 @@ class CalliReaderEngine:
             images, questions, histories=histories, use_p=use_p,
             drop_zero=drop_zero, hard_vq=hard_vq,
             repetition_penalty=repetition_penalty, max_new_tokens=max_new_tokens,
+            eos_token_ids=eos_token_ids,
         )
         return self.batch_decode(prepared, return_histories=return_histories)
+
+    def batch_build_rows(
+        self,
+        images: Sequence[Any],
+        questions: Sequence[str],
+        *,
+        histories: Optional[Sequence[Optional[List[Tuple[str, str]]]]] = None,
+        use_p: bool = True,
+        drop_zero: bool = False,
+        hard_vq: bool = False,
+    ) -> Dict[str, Any]:
+        """Vision + CalliAlign + splice for a batch, all dispatched async (no
+        host sync, no generate yet). Lets a caller overlap batch N+1's vision
+        work with batch N's in-flight decode while keeping only ONE generate
+        (and its KV cache) alive — dispatching two generates back-to-back
+        doubles the live cache and crowds HBM (measured slower)."""
+        assert len(images) == len(questions)
+        if histories is None:
+            histories = [None] * len(images)
+        conv_sep = get_conv_template(self.cfg.template).sep
+
+        # batched vision front end: one detector + one OrderFormer forward
+        # over all pages, union char encode, one (chunked) tile encode —
+        # collapses ~5 device dispatches per image into ~5 per BATCH
+        imgs_np = [np.asarray(preprocess.open_image(im)) for im in images]
+        pixel_list = [
+            preprocess.load_image(
+                im, self.cfg.force_image_size, self.cfg.max_dynamic_patch,
+                self.cfg.use_thumbnail, as_uint8=True,
+            )
+            for im in imgs_np
+        ]
+        if use_p:
+            aligned = self.batch_calli_align(
+                imgs_np, drop_zero=drop_zero, hard_vq=hard_vq
+            )
+        else:
+            aligned = [(None, None)] * len(images)
+
+        tile_counts = [pv.shape[0] for pv in pixel_list]
+        all_tiles = np.concatenate(pixel_list, axis=0)
+        batch_buckets = (*preprocess.TILE_BUCKETS, 26, 52, 104, 208)
+        feats_parts = []
+        for lo in range(0, all_tiles.shape[0], batch_buckets[-1]):
+            part, n_real = preprocess.pad_to_bucket(
+                all_tiles[lo : lo + batch_buckets[-1]], batch_buckets
+            )
+            feats_parts.append(self._vision_encode(self.params, jnp.asarray(part))[:n_real])
+        all_feats = (
+            feats_parts[0] if len(feats_parts) == 1 else jnp.concatenate(feats_parts)
+        )
+
+        rows = []
+        out_questions = []
+        off = 0
+        for i, (image, question, history) in enumerate(zip(images, questions, histories)):
+            pixel_values = pixel_list[i]
+            img_embeds = all_feats[off : off + tile_counts[i]]
+            off += tile_counts[i]
+            pseudo = aligned[i][0]
+            q = "<image>\n" + question if "<image>" not in question else question
+            if history is None and use_p and pseudo is not None and ALIGNED not in q:
+                q = q + ALIGNED * pseudo.shape[0]
+            out_questions.append(q)
+            conv = build_chat_prompt(q, history)
+            query = self._expand_image_tokens(conv.get_prompt(), [pixel_values.shape[0]])
+            ids = self._tokenize_prompt(query)
+            rows.append((ids, img_embeds, pseudo))
+
+        bucket = gen.bucket_length(max(len(r[0]) for r in rows))
+        built = [
+            self._build_row_embeds(ids, img, ps, bucket) for ids, img, ps in rows
+        ]
+        embeds = jnp.concatenate([e for e, _ in built], axis=0)  # stays on device
+        mask = np.concatenate([m for _, m in built], axis=0)
+        return {
+            "embeds": embeds,
+            "mask": mask,
+            "bucket": bucket,
+            "out_questions": out_questions,
+            "histories": histories,
+            "conv_sep": conv_sep,
+            "n": len(rows),
+        }
 
     def batch_prepare(
         self,
@@ -583,65 +802,42 @@ class CalliReaderEngine:
         hard_vq: bool = False,
         repetition_penalty: float = 1.5,
         max_new_tokens: int = 1024,
+        eos_token_ids: Optional[Tuple[int, ...]] = None,
+        prepared_rows: Optional[Dict[str, Any]] = None,
     ) -> Dict[str, Any]:
-        """Front half of batch_chat_ocr: vision + CalliAlign + splice,
-        dispatched asynchronously (no host sync). Callers can prepare chunk
-        N+1 while chunk N decodes — the char-canvas h2d rides the DMA engines
-        under the decode loop (the bench.py overlap, ~1.5x on v5e)."""
-        assert len(images) == len(questions)
-        if histories is None:
-            histories = [None] * len(images)
-        conv_sep = get_conv_template(self.cfg.template).sep
-        rows = []
-        out_questions = []
-        for image, question, history in zip(images, questions, histories):
-            img_np = np.asarray(preprocess.open_image(image))
-            pixel_values = preprocess.load_image(
-                img_np, self.cfg.force_image_size, self.cfg.max_dynamic_patch,
-                self.cfg.use_thumbnail, as_uint8=True,
-            )
-            pseudo = None
-            if use_p:
-                pseudo, _ = self.calli_align(
-                    img_np, drop_zero=drop_zero, hard_vq=hard_vq
-                )
-            q = "<image>\n" + question if "<image>" not in question else question
-            if history is None and use_p and pseudo is not None and ALIGNED not in q:
-                q = q + ALIGNED * pseudo.shape[0]
-            out_questions.append(q)
-            conv = build_chat_prompt(q, history)
-            query = self._expand_image_tokens(conv.get_prompt(), [pixel_values.shape[0]])
-            ids = self._tokenize_prompt(query)
-            img_embeds = self.encode_image_tiles(pixel_values)
-            rows.append((ids, img_embeds, pseudo if history is None else pseudo))
-
-        bucket = gen.bucket_length(max(len(r[0]) for r in rows))
-        built = [
-            self._build_row_embeds(ids, img, ps, bucket) for ids, img, ps in rows
-        ]
-        embeds = jnp.concatenate([e for e, _ in built], axis=0)  # stays on device
-        mask = np.concatenate([m for _, m in built], axis=0)
+        """Front half of batch_chat_ocr: batch_build_rows + async generate
+        dispatch (no host sync). Pass ``prepared_rows`` (a batch_build_rows
+        result) to launch the generate for rows built earlier — the
+        one-generate-in-flight pipelining pattern bench.py uses."""
+        rows = prepared_rows if prepared_rows is not None else self.batch_build_rows(
+            images, questions, histories=histories, use_p=use_p,
+            drop_zero=drop_zero, hard_vq=hard_vq,
+        )
         gen_cfg = gen.GenerateConfig(
             max_new_tokens=max_new_tokens,
-            eos_token_ids=(self.tok.convert_tokens_to_ids(conv_sep),),
+            eos_token_ids=(
+                eos_token_ids
+                if eos_token_ids is not None
+                else (self.tok.convert_tokens_to_ids(rows["conv_sep"]),)
+            ),
             pad_token_id=self.tok.pad_token_id,
             repetition_penalty=repetition_penalty,
         )
         t0 = time.time()
         # async dispatch: prefill + decode start on device, no host sync yet
         tokens, lengths = gen.generate_from_embeds(
-            self.params["llm"], self.cfg.llm, embeds, jnp.asarray(mask),
-            gen_cfg=gen_cfg, max_cache_len=bucket + max_new_tokens,
+            self.params["llm"], self.cfg.llm, rows["embeds"], jnp.asarray(rows["mask"]),
+            gen_cfg=gen_cfg, max_cache_len=rows["bucket"] + max_new_tokens,
             policy=self.policy, use_flash=self.use_flash, mesh=self.mesh,
         )
         self.timings.add("dispatch", time.time() - t0)
         return {
             "tokens": tokens,
             "lengths": lengths,
-            "out_questions": out_questions,
-            "histories": histories,
-            "conv_sep": conv_sep,
-            "n": len(rows),
+            "out_questions": rows["out_questions"],
+            "histories": rows["histories"],
+            "conv_sep": rows["conv_sep"],
+            "n": rows["n"],
         }
 
     def batch_decode(self, prepared: Dict[str, Any], *, return_histories: bool = False):

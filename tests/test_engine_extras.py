@@ -131,3 +131,33 @@ def test_react_agent_loop():
     )
     out = agent3.chat("loop")
     assert "Action: calculate" in out  # loop terminated, no hang
+
+
+def test_batch_calli_align_matches_per_image(engine):
+    """The batched vision front end (one detector/OrderFormer forward, union
+    char encode, chunked resample) must produce per-page outputs identical to
+    per-image calli_align."""
+    engine.detector = lambda img: [
+        [8.0, 8.0, 24.0, 24.0], [8.0, 33.0, 24.0, 49.0], [33.0, 18.0, 49.0, 34.0]
+    ]
+    imgs = [np.asarray(_img(1)), np.asarray(_img(2)), np.asarray(_img(3))]
+    batched = engine.batch_calli_align(imgs)
+    for img, (bp, bi) in zip(imgs, batched):
+        sp, si = engine.calli_align(img)
+        np.testing.assert_allclose(
+            np.asarray(bp), np.asarray(sp), rtol=1e-5, atol=1e-5
+        )
+        np.testing.assert_array_equal(np.asarray(bi), np.asarray(si))
+
+
+def test_batch_prepare_batched_vision_smoke(engine):
+    """batch_chat_ocr through the batched front end: responses decode and
+    histories line up (3 images, mixed questions)."""
+    engine.detector = lambda img: [[8.0, 8.0, 24.0, 24.0], [33.0, 18.0, 49.0, 34.0]]
+    imgs = [_img(4), _img(5), _img(6)]
+    qs = ["读出图中所有文字。", "作者是谁？", "这幅书法作品内容是什么？"]
+    out, hists = engine.batch_chat_ocr(
+        imgs, qs, max_new_tokens=3, return_histories=True
+    )
+    assert len(out) == 3 and all(isinstance(o, str) for o in out)
+    assert all(len(h) == 1 for h in hists)
