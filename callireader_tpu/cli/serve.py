@@ -91,21 +91,36 @@ def main(argv=None):
 
     requests = [json.loads(l) for l in open(args.input, encoding="utf-8") if l.strip()]
     t0 = time.time()
+
+    # batched vision prep: pages with use_p run the detector/OrderFormer/char
+    # pipeline in chunks of `slots` pages per device dispatch set
+    img_np_by_uid = {}
+    for uid, rec in enumerate(requests):
+        if rec.get("image"):
+            img_np_by_uid[uid] = np.asarray(preprocess.open_image(rec["image"]))
+    pseudo_by_uid = {}
+    align_uids = [u for u in img_np_by_uid if requests[u].get("use_p", True)]
+    for lo in range(0, len(align_uids), max(1, args.slots)):
+        chunk = align_uids[lo : lo + max(1, args.slots)]
+        for u, (ps, _idx) in zip(
+            chunk, engine.batch_calli_align([img_np_by_uid[u] for u in chunk])
+        ):
+            pseudo_by_uid[u] = ps
+
     for uid, rec in enumerate(requests):
         question = rec["question"]
         img_embeds = None
         pseudo = None
         n_tiles = 0
         if rec.get("image"):
-            img_np = np.asarray(preprocess.open_image(rec["image"]))
+            img_np = img_np_by_uid[uid]
             pixel_values = preprocess.load_image(
                 img_np, cfg.force_image_size, cfg.max_dynamic_patch,
                 cfg.use_thumbnail, as_uint8=True,
             )
             n_tiles = pixel_values.shape[0]
             img_embeds = engine.encode_image_tiles(pixel_values)
-            if rec.get("use_p", True):
-                pseudo, _ = engine.calli_align(img_np)
+            pseudo = pseudo_by_uid.get(uid)
             if "<image>" not in question:
                 question = "<image>\n" + question
             if pseudo is not None and ALIGNED not in question:

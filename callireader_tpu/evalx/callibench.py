@@ -73,8 +73,10 @@ def _ocr_task(
         return Image.fromarray(arr[y1:y2, x1:x2])
 
     if batch_size > 1:
-        # pipelined chunks: prepare chunk N+1 (vision + char h2d) while chunk
-        # N's decode runs on device (engine.batch_prepare/batch_decode split)
+        # pipelined chunks: build chunk N+1's rows (vision + char h2d) while
+        # chunk N's decode runs on device, but launch its generate only after
+        # chunk N retires — one live KV cache (engine.batch_build_rows /
+        # batch_prepare(prepared_rows=...) / batch_decode split)
         responses = []
         prepared = None
         for i in range(0, len(images), batch_size):
@@ -82,10 +84,16 @@ def _ocr_task(
                 crop(im, an)
                 for im, an in zip(images[i : i + batch_size], annotations[i : i + batch_size])
             ]
-            nxt = engine.batch_prepare(chunk_imgs, [prompt] * len(chunk_imgs), **kw)
+            gen_kw = {k: v for k, v in kw.items()
+                      if k in ("repetition_penalty", "max_new_tokens", "eos_token_ids")}
+            row_kw = {k: v for k, v in kw.items()
+                      if k in ("use_p", "drop_zero", "hard_vq", "histories")}
+            rows = engine.batch_build_rows(
+                chunk_imgs, [prompt] * len(chunk_imgs), **row_kw
+            )
             if prepared is not None:
                 responses.extend(t2s(r) for r in engine.batch_decode(prepared))
-            prepared = nxt
+            prepared = engine.batch_prepare([], [], prepared_rows=rows, **gen_kw)
         if prepared is not None:
             responses.extend(t2s(r) for r in engine.batch_decode(prepared))
     else:
