@@ -162,7 +162,11 @@ def main(argv=None):
                 args.seed = int(saved["seed"])
         print(f"[train] resumed from {args.resume} at step {int(state.step)}", file=sys.stderr)
 
-    step_fn = jax.jit(e_it.make_train_step(cfg, train_cfg, tx), donate_argnums=(0,))
+    seq_sharded = int(mesh.shape.get("seq", 1)) > 1
+    step_fn = jax.jit(
+        e_it.make_train_step(cfg, train_cfg, tx, mesh=mesh if seq_sharded else None),
+        donate_argnums=(0,),
+    )
 
     spans = Spans()
     thr = TrainThroughput(cfg, seq_len=2048)
@@ -198,7 +202,7 @@ def main(argv=None):
             except StopIteration:
                 loader = data_mod.data_loader(dataset, args.batch_size, shuffle_seed=args.seed + it)
                 batch = next(loader)
-            batch = spmd.shard_batch(batch, mesh)
+            batch = spmd.shard_batch(batch, mesh, seq_sharded=seq_sharded)
             with spans.span("step"):
                 state, metrics = step_fn(state, frozen, batch)
             it = int(state.step)

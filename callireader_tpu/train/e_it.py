@@ -104,6 +104,7 @@ def eit_loss(
     policy: DTypePolicy = DEFAULT_POLICY,
     use_flash: Optional[bool] = None,
     remat: bool = True,
+    attn_override=None,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
     """batch:
       input_ids  (B, S) int32 — right-padded with pad id
@@ -142,6 +143,7 @@ def eit_loss(
         segment_ids=batch.get("segment_ids"),
         positions=batch.get("positions"),
         policy=policy, use_flash=use_flash, remat=remat,
+        attn_override=attn_override,
     )
 
     shift_logits = logits[:, :-1].astype(jnp.float32)
@@ -277,13 +279,31 @@ def make_train_step(
     *,
     policy: DTypePolicy = DEFAULT_POLICY,
     use_flash: Optional[bool] = None,
+    mesh=None,
 ) -> Callable:
+    """``mesh`` with seq > 1 routes attention through the Ulysses shard_map
+    kernel (parallel/ulysses.py) — the reference's sequence_parallel_size
+    (train.py:99-126): seq-dim-sharded activations, all_to_all head/seq
+    exchange inside attention. Loss re-reduction (reduce_loss.py:8-35) is
+    unnecessary here: GSPMD averages the CE across the seq shards itself.
+    Assumes unpacked batches (segment-id masking is not threaded through the
+    a2a path; the e-IT loader never packs)."""
+    attn_override = None
+    if mesh is not None and int(mesh.shape.get("seq", 1)) > 1:
+        from callireader_tpu.parallel import ulysses
+
+        def attn_override(q, k, v):
+            return ulysses.ulysses_attention(
+                q, k, v, mesh, causal=True,
+                use_flash=bool(use_flash) if use_flash is not None else False,
+            )
+
     def train_step(state: TrainState, frozen, batch):
         def loss_fn(trainable):
             params = merge_params(trainable, frozen)
             return eit_loss(
                 params, cfg, batch, policy=policy, use_flash=use_flash,
-                remat=train_cfg.remat,
+                remat=train_cfg.remat, attn_override=attn_override,
             )
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.trainable)

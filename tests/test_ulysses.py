@@ -73,3 +73,58 @@ def test_full_forward_with_ulysses_attention():
 def test_reduce_sequence_parallel_loss():
     out = ulysses.reduce_sequence_parallel_loss(jnp.asarray(10.0), jnp.asarray(5))
     assert float(out) == 2.0
+
+
+def test_eit_train_step_with_sequence_parallel():
+    """make_train_step(mesh with seq>1): the Ulysses-attention train step
+    produces the same loss and moves params the same way as the plain step
+    (tiny cfg, text-only batch, virtual 8-device mesh)."""
+    import numpy as np
+
+    from callireader_tpu.core.config import callireader_tiny
+    from callireader_tpu.core.dtypes import FP32_POLICY
+    from callireader_tpu.parallel import spmd
+    from callireader_tpu.runtime.engine import init_all_params
+    from callireader_tpu.train import e_it, lora
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+
+    CFG = callireader_tiny()
+    params = init_all_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    params["llm"] = lora.add_lora(
+        params["llm"], CFG.llm, jax.random.PRNGKey(1), rank=4, alpha=8
+    )
+    tc = e_it.TrainConfig(learning_rate=5e-3, total_steps=10, warmup_ratio=0.0, remat=False)
+
+    B, S = 2, 64
+    rng = np.random.RandomState(0)
+    ids = rng.randint(10, 1000, (B, S)).astype(np.int32)
+    labels = np.where(np.arange(S)[None] >= S // 2, ids, e_it.IGNORE_INDEX).astype(np.int32)
+    batch_np = {
+        "input_ids": ids,
+        "labels": labels,
+        "segment_ids": np.zeros((B, S), np.int32),
+        "positions": np.tile(np.arange(S, dtype=np.int32)[None], (B, 1)),
+    }
+
+    def run(mesh, seq_sharded):
+        p = spmd.shard_tree(params, spmd.engine_logical_axes(CFG, params), mesh)
+        state, frozen, tx = e_it.create_train_state(p, tc)
+        step = jax.jit(e_it.make_train_step(
+            CFG, tc, tx, policy=FP32_POLICY, use_flash=False,
+            mesh=mesh if seq_sharded else None,
+        ))
+        b = spmd.shard_batch(dict(batch_np), mesh, seq_sharded=seq_sharded)
+        with mesh:
+            state, m = step(state, frozen, b)
+        return float(m["loss"]), np.asarray(state.trainable["llm"]["layers"]["wq_lora_a"])
+
+    plain_mesh = spmd.make_mesh({"data": 2, "fsdp": 2, "tensor": 2, "seq": 1})
+    sp_mesh = spmd.make_mesh({"data": 2, "fsdp": 1, "tensor": 2, "seq": 2})
+    loss0, a0 = run(plain_mesh, False)
+    loss1, a1 = run(sp_mesh, True)
+    assert abs(loss0 - loss1) < 1e-4, (loss0, loss1)
+    np.testing.assert_allclose(a0, a1, rtol=1e-4, atol=1e-5)
