@@ -45,6 +45,8 @@ def main(argv=None):
     parser.add_argument("--quant", type=str, default=None, choices=[None, "int8"])
     parser.add_argument("--adapter", type=str, default=None,
                         help="orbax e-IT checkpoint dir (LoRA+mlp1) to merge before serving")
+    parser.add_argument("--splits", type=str, nargs="*", default=None,
+                        help="subset of splits for full_page (easy/medium/hard) or choice (author/style/layout); default: all")
     parser.add_argument("--data-path", type=str, default=None,
                         help="mmbench TSV / refcoco JSON path (overrides --data)")
     parser.add_argument("--rgb-chars", action="store_true",
@@ -69,7 +71,7 @@ def main(argv=None):
     )
 
     if args.type == "full_page":
-        for split in ("easy", "medium", "hard"):
+        for split in (args.splits or ("easy", "medium", "hard")):
             callibench.test_full_page(
                 engine,
                 os.path.join(args.data, f"full_page_ocr/{split}/{split}.parquet"),
@@ -87,7 +89,7 @@ def main(argv=None):
         )
     elif args.type == "choice":
         limit = args.choice_limit or None
-        for split in ("author", "style", "layout"):
+        for split in (args.splits or ("author", "style", "layout")):
             callibench.test_choice(
                 engine,
                 os.path.join(args.data, f"choice/{split}/{split}.parquet"),

@@ -107,19 +107,44 @@ def main(argv=None):
         ):
             pseudo_by_uid[u] = ps
 
+    # batched tile encode over the union of all image requests
+    pixel_by_uid = {
+        u: preprocess.load_image(
+            im, cfg.force_image_size, cfg.max_dynamic_patch,
+            cfg.use_thumbnail, as_uint8=True,
+        )
+        for u, im in img_np_by_uid.items()
+    }
+    feats_by_uid = {}
+    uids = list(pixel_by_uid)
+    lo = 0
+    while lo < len(uids):
+        chunk, total = [], 0
+        while lo < len(uids) and total + pixel_by_uid[uids[lo]].shape[0] <= 104:
+            chunk.append(uids[lo])
+            total += pixel_by_uid[uids[lo]].shape[0]
+            lo += 1
+        if not chunk:  # single request larger than the window (impossible: <=13)
+            chunk = [uids[lo]]
+            lo += 1
+        feats = engine.encode_image_tiles(
+            np.concatenate([pixel_by_uid[u] for u in chunk], axis=0)
+        )
+        off = 0
+        for u in chunk:
+            n = pixel_by_uid[u].shape[0]
+            feats_by_uid[u] = feats[off : off + n]
+            off += n
+
     for uid, rec in enumerate(requests):
         question = rec["question"]
         img_embeds = None
         pseudo = None
         n_tiles = 0
         if rec.get("image"):
-            img_np = img_np_by_uid[uid]
-            pixel_values = preprocess.load_image(
-                img_np, cfg.force_image_size, cfg.max_dynamic_patch,
-                cfg.use_thumbnail, as_uint8=True,
-            )
+            pixel_values = pixel_by_uid[uid]
             n_tiles = pixel_values.shape[0]
-            img_embeds = engine.encode_image_tiles(pixel_values)
+            img_embeds = feats_by_uid[uid]
             pseudo = pseudo_by_uid.get(uid)
             if "<image>" not in question:
                 question = "<image>\n" + question

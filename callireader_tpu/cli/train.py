@@ -142,6 +142,9 @@ def main(argv=None):
     )
     axes = spmd.engine_logical_axes(cfg, params)
     params = spmd.shard_tree(params, axes, mesh)
+    # rebind so the engine's pre-shard copy is freed — otherwise two full
+    # models sit in HBM and the end-of-run export OOMs at 2b scale
+    engine.params = params
 
     state, frozen, tx = e_it.create_train_state(params, train_cfg)
     state = e_it.replicate_scalars(state, mesh)
@@ -237,6 +240,19 @@ def main(argv=None):
     final = os.path.join(args.out, "final")
     ckpt_mod.save_train_state(final, state, metadata={"iter": it // accum, "seed": args.seed})
     merged = e_it.merge_params(state.trainable, frozen)
+    # drop optimizer moments + grad accumulators before the export d2h: the
+    # device->host transfer needs per-leaf staging buffers, and at 2b scale
+    # the opt state's ~1-2GB is the difference between fitting and OOM
+    state = None
+    import gc
+
+    gc.collect()
+    try:
+        ms = jax.devices()[0].memory_stats() or {}
+        print(f"[train] HBM before export: {ms.get('bytes_in_use', 0)/1e9:.2f} GB in use",
+              file=sys.stderr)
+    except Exception:
+        pass
     export_dir = os.path.join(args.out, "export_official")
     ckpt_mod.export_reference_format(merged, cfg, export_dir)
     print(f"[train] done: {it // accum} iters ({it} micro-batches); export at {export_dir}",

@@ -186,11 +186,21 @@ class CalliReaderEngine:
     # vision helpers
     # ------------------------------------------------------------------
 
+    BATCH_TILE_BUCKETS = (26, 52, 104, 208)
+
     def encode_image_tiles(self, tiles: np.ndarray) -> jax.Array:
-        """Run ViT+projector over a (N,H,W,C) tile stack, bucket-padded."""
-        padded, n = preprocess.pad_to_bucket(tiles)
-        feats = self._vision_encode(self.params, jnp.asarray(padded))
-        return feats[:n]
+        """Run ViT+projector over a (N,H,W,C) tile stack, bucket-padded.
+        Accepts multi-image unions beyond the per-image tile cap (13) via
+        extended buckets, chunked at the largest."""
+        buckets = preprocess.TILE_BUCKETS
+        if tiles.shape[0] > buckets[-1]:
+            buckets = (*buckets, *self.BATCH_TILE_BUCKETS)
+        cap = buckets[-1]
+        outs = []
+        for lo in range(0, tiles.shape[0], cap):
+            padded, n = preprocess.pad_to_bucket(tiles[lo : lo + cap], buckets)
+            outs.append(self._vision_encode(self.params, jnp.asarray(padded))[:n])
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def encode_char_slices(self, slices: np.ndarray) -> jax.Array:
         padded, n = preprocess.pad_to_bucket(slices, CHAR_BUCKETS)
@@ -746,17 +756,7 @@ class CalliReaderEngine:
             aligned = [(None, None)] * len(images)
 
         tile_counts = [pv.shape[0] for pv in pixel_list]
-        all_tiles = np.concatenate(pixel_list, axis=0)
-        batch_buckets = (*preprocess.TILE_BUCKETS, 26, 52, 104, 208)
-        feats_parts = []
-        for lo in range(0, all_tiles.shape[0], batch_buckets[-1]):
-            part, n_real = preprocess.pad_to_bucket(
-                all_tiles[lo : lo + batch_buckets[-1]], batch_buckets
-            )
-            feats_parts.append(self._vision_encode(self.params, jnp.asarray(part))[:n_real])
-        all_feats = (
-            feats_parts[0] if len(feats_parts) == 1 else jnp.concatenate(feats_parts)
-        )
+        all_feats = self.encode_image_tiles(np.concatenate(pixel_list, axis=0))
 
         rows = []
         out_questions = []
