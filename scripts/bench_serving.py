@@ -30,6 +30,7 @@ def main(argv=None):
     p.add_argument("--steps-per-sync", type=int, default=1)
     p.add_argument("--mesh", type=str, default=None)
     p.add_argument("--prompt-len", type=int, default=96)
+    p.add_argument("--quant", choices=[None, "int8"], default=None)
     args = p.parse_args(argv)
 
     import jax
@@ -48,6 +49,10 @@ def main(argv=None):
     cfg = get_config(args.preset)
     on_tpu = jax.devices()[0].platform != "cpu"
     params = internlm2.init_params(jax.random.PRNGKey(0), cfg.llm, jnp.bfloat16)
+    if args.quant == "int8":
+        from callireader_tpu.runtime.quantize import quantize_llm_int8
+
+        params = quantize_llm_int8(params)
     mesh = None
     if args.mesh:
         shape = {k: int(v) for k, v in (kv.split("=") for kv in args.mesh.split(","))}
@@ -108,6 +113,7 @@ def main(argv=None):
             "slots": args.slots,
             "paged": args.paged,
             "steps_per_sync": args.steps_per_sync,
+            "quant": args.quant,
             "mesh": args.mesh,
             "total_tokens": toks,
             "seconds": round(dt, 2),
