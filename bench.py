@@ -111,9 +111,8 @@ def main():
             return [[list(b) for b in gt_flat] for _ in images]
 
     engine.detector = StubDetector()
-    n_learns = cfg.resampler.num_learns
 
-    def build_row(run_detector: bool = True):
+    def build_row():
         """The full chat_ocr front half for one image -> (embeds, mask)."""
         pseudo, _idx = engine.calli_align(page)
         pixel_values = preprocess.load_image(
