@@ -55,6 +55,8 @@ def main(argv=None):
                         help="ship char canvases as single-channel luma (3x fewer "
                         "host-link bytes; NOT bit-identical to RGB crops)")
     args = parser.parse_args(argv)
+    if getattr(args, "gray_chars", False) and args.rgb_chars:
+        parser.error("--gray-chars and --rgb-chars are mutually exclusive")
 
     save_dir = f"outputs/{args.save_name}"
     os.makedirs(save_dir, exist_ok=True)

@@ -41,7 +41,8 @@ def main(argv=None):
     parser.add_argument("--rgb-chars", action="store_true",
                         help="full-RGB char canvases (bit-parity with the reference; 3x the transfer bytes of the luma default)")
     parser.add_argument("--gray-chars", action="store_true",
-                        help="single-channel char-canvas transfers (3x fewer bytes)")
+                        help="(default; kept for compatibility) luma char-canvas "
+                             "transfers — conflicts with --rgb-chars")
     parser.add_argument("--steps-per-sync", type=int, default=1,
                         help="decode steps per host round trip: amortizes "
                         "dispatch latency, costs up to k-1 throwaway steps "
@@ -51,6 +52,8 @@ def main(argv=None):
                         "shards params + KV cache over all local devices "
                         "(required for callireader-8b bf16)")
     args = parser.parse_args(argv)
+    if getattr(args, "gray_chars", False) and args.rgb_chars:
+        parser.error("--gray-chars and --rgb-chars are mutually exclusive")
 
     import numpy as np
 
@@ -92,90 +95,102 @@ def main(argv=None):
     requests = [json.loads(l) for l in open(args.input, encoding="utf-8") if l.strip()]
     t0 = time.time()
 
-    # batched vision prep: pages with use_p run the detector/OrderFormer/char
-    # pipeline in chunks of `slots` pages per device dispatch set
-    img_np_by_uid = {}
-    for uid, rec in enumerate(requests):
-        if rec.get("image"):
-            img_np_by_uid[uid] = np.asarray(preprocess.open_image(rec["image"]))
-    pseudo_by_uid = {}
-    align_uids = [u for u in img_np_by_uid if requests[u].get("use_p", True)]
-    for lo in range(0, len(align_uids), max(1, args.slots)):
-        chunk = align_uids[lo : lo + max(1, args.slots)]
-        for u, (ps, _idx) in zip(
-            chunk, engine.batch_calli_align([img_np_by_uid[u] for u in chunk])
-        ):
-            pseudo_by_uid[u] = ps
+    # Wave-based admission: prepare + submit `wave` requests at a time, and
+    # between waves drain the batcher until its queue fits the slot pool.
+    # This bounds device memory at O(slots + wave) requests' embeds/features
+    # (a naive prepare-everything pass pins O(#requests) device memory —
+    # ~60MB/image request on the 8B — and OOMs on long input files), while
+    # each wave still runs the batched detector/OrderFormer/char pipeline and
+    # a fused tile encode, overlapped with the in-flight decode.
+    wave = max(args.slots, 4)
+    prep_errors = {}
+    done = []
 
-    # batched tile encode over the union of all image requests
-    pixel_by_uid = {
-        u: preprocess.load_image(
-            im, cfg.force_image_size, cfg.max_dynamic_patch,
-            cfg.use_thumbnail, as_uint8=True,
-        )
-        for u, im in img_np_by_uid.items()
-    }
-    feats_by_uid = {}
-    uids = list(pixel_by_uid)
-    lo = 0
-    while lo < len(uids):
-        chunk, total = [], 0
-        while lo < len(uids) and total + pixel_by_uid[uids[lo]].shape[0] <= 104:
-            chunk.append(uids[lo])
-            total += pixel_by_uid[uids[lo]].shape[0]
-            lo += 1
-        if not chunk:  # single request larger than the window (impossible: <=13)
-            chunk = [uids[lo]]
-            lo += 1
-        feats = engine.encode_image_tiles(
-            np.concatenate([pixel_by_uid[u] for u in chunk], axis=0)
-        )
-        off = 0
-        for u in chunk:
-            n = pixel_by_uid[u].shape[0]
-            feats_by_uid[u] = feats[off : off + n]
-            off += n
-
-    for uid, rec in enumerate(requests):
-        question = rec["question"]
-        img_embeds = None
-        pseudo = None
-        n_tiles = 0
-        if rec.get("image"):
-            pixel_values = pixel_by_uid[uid]
-            n_tiles = pixel_values.shape[0]
-            img_embeds = feats_by_uid[uid]
-            pseudo = pseudo_by_uid.get(uid)
-            if "<image>" not in question:
-                question = "<image>\n" + question
-            if pseudo is not None and ALIGNED not in question:
-                question = question + ALIGNED * pseudo.shape[0]
-        conv = build_chat_prompt(question)
-        query = engine._expand_image_tokens(conv.get_prompt(), [n_tiles] if n_tiles else [])
-        ids = engine._tokenize_prompt(query)
-        bucket = gen.bucket_length(len(ids))
-        embeds, _mask = engine._build_row_embeds(ids, img_embeds, pseudo, bucket)
-        row = np.asarray(embeds[0][bucket - len(ids):])  # strip the pad rows
-        batcher.submit(
-            Request(
-                uid, row,
-                max_new_tokens=int(rec.get("max_new_tokens", 1024)),
-                eos_token_ids=eos,
-                repetition_penalty=float(rec.get("repetition_penalty", args.repetition_penalty)),
+    def prep_and_submit(uids):
+        img_np = {
+            u: np.asarray(preprocess.open_image(requests[u]["image"]))
+            for u in uids if requests[u].get("image")
+        }
+        align_uids = [u for u in img_np if requests[u].get("use_p", True)]
+        pseudo_by_uid = {}
+        if align_uids:
+            for u, (ps, _idx) in zip(
+                align_uids, engine.batch_calli_align([img_np[u] for u in align_uids])
+            ):
+                pseudo_by_uid[u] = ps
+        pixel_by_uid = {
+            u: preprocess.load_image(
+                im, cfg.force_image_size, cfg.max_dynamic_patch,
+                cfg.use_thumbnail, as_uint8=True,
             )
-        )
+            for u, im in img_np.items()
+        }
+        feats_by_uid = {}
+        if pixel_by_uid:
+            order = list(pixel_by_uid)
+            feats = engine.encode_image_tiles(
+                np.concatenate([pixel_by_uid[u] for u in order], axis=0)
+            )
+            off = 0
+            for u in order:
+                n = pixel_by_uid[u].shape[0]
+                feats_by_uid[u] = feats[off : off + n]
+                off += n
 
-    done = batcher.run()
+        for uid in uids:
+            rec = requests[uid]
+            question = rec["question"]
+            img_embeds = feats_by_uid.get(uid)
+            pseudo = pseudo_by_uid.get(uid)
+            n_tiles = pixel_by_uid[uid].shape[0] if uid in pixel_by_uid else 0
+            if n_tiles:
+                if "<image>" not in question:
+                    question = "<image>\n" + question
+                if pseudo is not None and ALIGNED not in question:
+                    question = question + ALIGNED * pseudo.shape[0]
+            conv = build_chat_prompt(question)
+            query = engine._expand_image_tokens(
+                conv.get_prompt(), [n_tiles] if n_tiles else []
+            )
+            ids = engine._tokenize_prompt(query)
+            try:
+                bucket = gen.bucket_length(len(ids))
+            except ValueError as e:
+                # fail the request, never the server (admission-guard policy)
+                prep_errors[uid] = str(e)
+                continue
+            embeds, _mask = engine._build_row_embeds(ids, img_embeds, pseudo, bucket)
+            row = np.asarray(embeds[0][bucket - len(ids):])  # strip the pad rows
+            batcher.submit(
+                Request(
+                    uid, row,
+                    max_new_tokens=int(rec.get("max_new_tokens", 1024)),
+                    eos_token_ids=eos,
+                    repetition_penalty=float(
+                        rec.get("repetition_penalty", args.repetition_penalty)
+                    ),
+                )
+            )
+
+    for lo in range(0, len(requests), wave):
+        prep_and_submit(list(range(lo, min(lo + wave, len(requests)))))
+        while len(batcher.queue) > args.slots:
+            batcher.step()
+    done.extend(batcher.run())
+
     by_uid = {r.uid: r for r in done}
     with open(args.output, "w", encoding="utf-8") as f:
         for uid, rec in enumerate(requests):
-            r = by_uid[uid]
             out = {"id": rec.get("id", uid)}
-            if r.error is not None:
-                out["error"] = r.error
+            if uid in prep_errors:
+                out["error"] = prep_errors[uid]
             else:
-                text = engine.tok.decode(r.tokens, skip_special_tokens=True)
-                out["response"] = text.split(sep)[0].strip()
+                r = by_uid[uid]
+                if r.error is not None:
+                    out["error"] = r.error
+                else:
+                    text = engine.tok.decode(r.tokens, skip_special_tokens=True)
+                    out["response"] = text.split(sep)[0].strip()
             f.write(json.dumps(out, ensure_ascii=False) + "\n")
     dt = time.time() - t0
     total_toks = sum(len(r.tokens) for r in done)

@@ -182,18 +182,19 @@ def main(argv=None):
     if args.resume and it:
         # fast-forward the shuffled stream past already-consumed batches so a
         # mid-epoch resume continues where it left off instead of re-training
-        # the head of the epoch (reference sampler resume behavior)
+        # the head of the epoch (reference sampler resume behavior). The main
+        # loop reseeds exhausted loaders with args.seed + it at the epoch
+        # boundary (it = epoch * micro_per_epoch) — reproduce that epoch's
+        # exact stream, not epoch 0's.
+        epoch = it // micro_per_epoch
         skip = it % micro_per_epoch
+        epoch_seed = args.seed if epoch == 0 else args.seed + epoch * micro_per_epoch
+        loader = data_mod.data_loader(dataset, args.batch_size, shuffle_seed=epoch_seed)
         for _ in range(skip):
-            try:
-                next(loader)
-            except StopIteration:
-                loader = data_mod.data_loader(
-                    dataset, args.batch_size, shuffle_seed=args.seed
-                )
-                next(loader)
-        if skip:
-            print(f"[train] data loader fast-forwarded {skip} batches", file=sys.stderr)
+            next(loader)
+        if skip or epoch:
+            print(f"[train] data loader fast-forwarded to epoch {epoch}, batch {skip}",
+                  file=sys.stderr)
     micro_total = total_steps * accum
     last_ckpt = None
     log_path = os.path.join(args.out, "train_log.jsonl")

@@ -40,7 +40,13 @@ FORCE_STOP = (
 )
 
 _ACTION_RE = re.compile(r"Action:\s*(.+?)\s*[\n$]", re.DOTALL)
-_INPUT_RE = re.compile(r"Action Input:\s*(.+?)\s*(?:\n|$)", re.DOTALL)
+# Action Input may span lines (e.g. equation systems for solve); capture
+# until the next protocol section or end of text
+_INPUT_RE = re.compile(
+    r"Action Input:\s*(.+?)\s*"
+    r"(?=\n(?:Thought:|Action:|Final Answer:|Response:)|\Z)",
+    re.DOTALL,
+)
 
 
 def default_tools() -> Dict[str, Tuple[str, Callable[[str], str]]]:

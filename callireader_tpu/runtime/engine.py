@@ -349,8 +349,12 @@ class CalliReaderEngine:
                 results[i] = self.sort_boxes(img, thres)
                 continue
             h, w = img.shape[:2]
+            # int-truncate before clipping, matching iterative_detect's
+            # to_mask conversion so batch and per-image paths see identical
+            # box values (engine.iterative_detect)
             pair = [
-                [[max(b[0], 0), max(b[1], 0)], [min(b[2], w), min(b[3], h)]]
+                [[max(int(b[0]), 0), max(int(b[1]), 0)],
+                 [min(int(b[2]), w), min(int(b[3]), h)]]
                 for b in flat
             ]
             char_boxes = boxes_mod.dedup_boxes_iou(pair, 0.8)
@@ -434,10 +438,10 @@ class CalliReaderEngine:
                 all_idx = np.concatenate([idxs for idxs, _ in groups])
                 feats = jnp.concatenate(parts, axis=0)[jnp.argsort(jnp.asarray(all_idx))]
             n = feats.shape[0]
-            fpad, _ = preprocess.pad_to_bucket(np.zeros((n, 1, 1, 1), np.uint8), CHAR_BUCKETS)
-            if fpad.shape[0] != n:
+            target = preprocess.bucket_tiles(n, CHAR_BUCKETS)
+            if target != n:
                 feats = jnp.concatenate(
-                    [feats, jnp.zeros((fpad.shape[0] - n,) + feats.shape[1:], feats.dtype)]
+                    [feats, jnp.zeros((target - n,) + feats.shape[1:], feats.dtype)]
                 )
             ps, idx = self._resample_vq(self.params, feats, hard_vq=hard_vq)
             pseudos.append(ps[: n * n_learns])

@@ -293,10 +293,13 @@ def make_train_step(
         from callireader_tpu.parallel import ulysses
 
         def attn_override(q, k, v):
-            return ulysses.ulysses_attention(
-                q, k, v, mesh, causal=True,
-                use_flash=bool(use_flash) if use_flash is not None else False,
+            import jax as _jax
+
+            flash = (
+                bool(use_flash) if use_flash is not None
+                else _jax.devices()[0].platform == "tpu"
             )
+            return ulysses.ulysses_attention(q, k, v, mesh, causal=True, use_flash=flash)
 
     def train_step(state: TrainState, frozen, batch):
         def loss_fn(trainable):

@@ -176,9 +176,11 @@ def tokenize_with_template(
     labels: List[int] = [ignore_index]
     for i, turn in enumerate(conversation):
         chunk = ""
+        # SYSTEM is emitted only when the dataset provides a system string
+        # (xtuner encode_fn behavior) — never formatted with an empty value
         sys_text = turn.get("system")
-        if (i == 0 or sys_text) and t.system is not None and (sys_text or i == 0):
-            chunk += t.system.format(system=sys_text or "")
+        if sys_text and t.system is not None:
+            chunk += t.system.format(system=sys_text)
         chunk += t.instruction.format(input=turn["input"], round=i + 1)
         ids = tokenizer.encode(chunk, add_bos=False)
         input_ids += ids

@@ -161,3 +161,25 @@ def test_batch_prepare_batched_vision_smoke(engine):
     )
     assert len(out) == 3 and all(isinstance(o, str) for o in out)
     assert all(len(h) == 1 for h in hists)
+
+
+def test_agent_multiline_action_input():
+    """Action Input spanning lines (equation systems) reaches the tool
+    intact instead of being truncated at the first newline."""
+    from callireader_tpu.runtime.agent import ReActAgent
+
+    received = []
+
+    def tool(s):
+        received.append(s)
+        return "x=1, y=1"
+
+    script = iter([
+        "Thought: 解方程\nAction: solve\nAction Input: x+y=2,\nx-y=0",
+        "Final Answer: x=1, y=1",
+    ])
+    agent = ReActAgent(
+        lambda q, h: (next(script), h), tools={"solve": ("solver", tool)}
+    )
+    assert agent.chat("solve it") == "x=1, y=1"
+    assert received == ["x+y=2,\nx-y=0"]

@@ -106,3 +106,27 @@ def test_serve_jsonl_sharded_mesh(tmp_path):
     assert all(isinstance(l["response"], str) for l in mesh)
     # bf16 random weights: responses should match the unsharded run
     assert mesh == plain
+
+
+@pytest.mark.slow
+def test_serve_oversized_prompt_fails_request_not_server(tmp_path):
+    """A prompt beyond the largest bucket becomes a per-request error record;
+    other requests still serve (admission-guard policy at the CLI layer)."""
+    reqs = [
+        {"id": "big", "question": "字" * 9000, "max_new_tokens": 2},
+        {"id": "ok", "question": "你好", "max_new_tokens": 2},
+    ]
+    inp = tmp_path / "in.jsonl"
+    inp.write_text("\n".join(json.dumps(r, ensure_ascii=False) for r in reqs))
+    out = tmp_path / "out.jsonl"
+
+    from callireader_tpu.cli import serve
+
+    serve.main([
+        "--input", str(inp), "--output", str(out),
+        "--slots", "2", "--max-len", "512",
+        "--preset", "callireader-tiny", "--random-init",
+    ])
+    lines = {json.loads(l)["id"]: json.loads(l) for l in open(out)}
+    assert "error" in lines["big"] and "response" not in lines["big"]
+    assert isinstance(lines["ok"]["response"], str)

@@ -198,3 +198,22 @@ def test_tokenize_with_template_llama3():
     out2 = tokenize_with_template(conv, tok, "chatglm2")
     t2 = tok.decode(out2["input_ids"].tolist(), skip_special_tokens=False)
     assert "[Round 1]" in t2 and "[Round 2]" in t2
+
+
+def test_template_system_only_when_provided():
+    """No spurious system block for system-less rows (xtuner encode_fn:
+    SYSTEM is emitted only when the dataset provides a system string)."""
+    from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer
+    from callireader_tpu.train.templates import tokenize_with_template
+
+    tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
+    out = tokenize_with_template(
+        [{"input": "hi", "output": "yo"}], tok, "internlm2_chat"
+    )
+    text = tok.decode(out["input_ids"].tolist(), skip_special_tokens=False)
+    assert "system" not in text
+    out2 = tokenize_with_template(
+        [{"system": "S.", "input": "hi", "output": "yo"}], tok, "internlm2_chat"
+    )
+    t2 = tok.decode(out2["input_ids"].tolist(), skip_special_tokens=False)
+    assert "<|im_start|>system\nS.<|im_end|>" in t2
