@@ -35,8 +35,9 @@ def main(argv=None):
     parser.add_argument("--drop_zero", type=_str2bool, default=False)
     parser.add_argument("--verbose", type=_str2bool, default=False)
     parser.add_argument("--repetition_penalty", type=float, default=1.0)
-    parser.add_argument("--batch_size", type=int, default=1,
-                        help="batched chat_ocr for full_page/region_wise (TPU throughput mode)")
+    parser.add_argument("--batch_size", type=int, default=None,
+                        help="batched chat_ocr for full_page/region_wise (TPU throughput "
+                        "mode). Default: 8 on TPU, 1 (reference-parity sequential) elsewhere")
     parser.add_argument("--choice_limit", type=int, default=3,
                         help="reference harness evaluates a 3-sample slice; 0 = full split")
     parser.add_argument("--preset", type=str, default="callireader-8b")
@@ -63,10 +64,17 @@ def main(argv=None):
 
     from callireader_tpu.cli.common import build_engine
 
+    # evaluate.py is the parity harness: char canvases default to full RGB
+    # (bit-identical to the reference's crops, utils/utils.py:420-452);
+    # --gray-chars opts into the luma transfer optimization used by serve/bench
     engine = build_engine(
         preset=args.preset, checkpoint_dir=args.checkpoint, random_init_ok=args.random_init,
-        quant=args.quant, adapter_path=args.adapter, gray_chars=not args.rgb_chars,
+        quant=args.quant, adapter_path=args.adapter, gray_chars=args.gray_chars,
     )
+    if args.batch_size is None:
+        import jax
+
+        args.batch_size = 8 if jax.devices()[0].platform != "cpu" else 1
     kw = dict(
         use_p=args.use_p, hard_vq=args.hard_vq, drop_zero=args.drop_zero,
         repetition_penalty=args.repetition_penalty,

@@ -178,7 +178,9 @@ def main(argv=None):
     # is one accumulated update of `accum` micro-batches, matching the
     # reference's accumulative_counts semantics (e-IT.py:40).
     it = int(state.step)
-    micro_per_epoch = max(1, len(dataset) // args.batch_size)
+    # derived from the loader's own arithmetic (not recomputed independently)
+    # so the fast-forward below stays in sync with the actual stream
+    micro_per_epoch = max(1, data_mod.batches_per_epoch(len(dataset), args.batch_size))
     if args.resume and it:
         # fast-forward the shuffled stream past already-consumed batches so a
         # mid-epoch resume continues where it left off instead of re-training

@@ -98,6 +98,13 @@ class ReActAgent:
                     f"{', '.join(self.tools)}。请修正 Action。"
                 )
                 continue
+            if turn == self.max_turns:
+                # out of turns: the tool result could never be sent back, so
+                # don't execute it — surface the model's last reasoning with
+                # an explicit truncation note instead of the raw Action block
+                thought = re.search(r"Thought:\s*(.+?)\s*(?:\n|$)", text)
+                last = thought.group(1).strip() if thought else text.strip()
+                return f"（已达到最大工具调用轮数，未得出 Final Answer）{last}"
             tool_input = arg.group(1).strip() if arg else ""
             try:
                 result = tool[1](tool_input)
@@ -107,4 +114,4 @@ class ReActAgent:
                 f"Response: {result}" if turn < self.max_turns - 1
                 else f"Response: {result}\n{FORCE_STOP}"
             )
-        return text.strip()
+        return text.strip()  # unreachable; loop always returns

@@ -244,6 +244,13 @@ def pack_samples(
     }
 
 
+def batches_per_epoch(n_items: int, batch_size: int, *, drop_last: bool = True) -> int:
+    """Batches data_loader yields per epoch — same range arithmetic as
+    data_loader's loop, so resume fast-forward (cli/train.py) can never
+    desync from the actual stream if drop_last/grouping defaults change."""
+    return len(range(0, n_items - (batch_size - 1 if drop_last else 0), batch_size))
+
+
 def data_loader(
     dataset: EITDataset,
     batch_size: int,

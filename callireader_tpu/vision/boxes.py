@@ -138,18 +138,27 @@ def dedup_boxes_iou(boxes: List, threshold: float = 0.8) -> List:
 def most_frequent_rgb_fast(
     image_array: np.ndarray, max_samples: int = 1 << 16
 ) -> Tuple[int, int, int]:
-    """Most frequent RGB (mask-fill color, utils.py:98-110). Strided
-    subsampling (>= max_samples pixels kept) replaces the reference's
-    full-image bincount: the fill color is the page background, which
-    dominates any uniform sample — a ~2s/page host cost becomes ~2ms with
-    an identical result on real pages."""
+    """Most frequent RGB (mask-fill color, utils.py:98-110). Small images
+    get the reference's exact full-image mode; large ones are strided-
+    subsampled (>= max_samples pixels kept) — the fill color is the page
+    background, which dominates any uniform sample, so a ~2s/page host cost
+    becomes ~2ms. Subsampled mode is computed on a coarse (>>2 per channel)
+    color grid first so near-tie shades of the same background hue cannot
+    flip the winner, then the exact mode within the winning coarse cell."""
     h, w = image_array.shape[:2]
     stride = max(1, int(np.sqrt(h * w / max_samples)))
     flat = image_array[::stride, ::stride].reshape(-1, 3)
     rgb = (
         flat[:, 0].astype(np.uint32) << 16
     ) | (flat[:, 1].astype(np.uint32) << 8) | flat[:, 2].astype(np.uint32)
-    vals, counts = np.unique(rgb, return_counts=True)
+    if stride == 1:  # exact: every pixel counted, plain mode
+        vals, counts = np.unique(rgb, return_counts=True)
+        m = int(vals[np.argmax(counts)])
+        return ((m >> 16) & 255, (m >> 8) & 255, m & 255)
+    coarse = rgb & 0x00FCFCFC  # drop 2 LSBs per channel: 64-level grid
+    cvals, ccounts = np.unique(coarse, return_counts=True)
+    win = cvals[np.argmax(ccounts)]
+    vals, counts = np.unique(rgb[coarse == win], return_counts=True)
     m = int(vals[np.argmax(counts)])
     return ((m >> 16) & 255, (m >> 8) & 255, m & 255)
 
