@@ -7,14 +7,13 @@ Parity targets:
   - punctuation strippers: evaluate.py:44-53
   - choice accuracy rules: evaluate.py:80-125 (multi-letter rejection,
     correct-text containment overrides)
-  - trad->simp conversion: evaluate.py:41 via OpenCC, gated here (identity
-    fallback with a warning when opencc is unavailable in the image).
+  - trad->simp conversion: evaluate.py:41 via OpenCC when installed; offline
+    fallback = bundled char-level table (assets/t2s.txt, ~2.1k pairs).
 """
 
 from __future__ import annotations
 
 import re
-import warnings
 from typing import Callable, List, Sequence, Tuple
 
 _CHINESE_PUNCT = re.compile(
@@ -36,21 +35,39 @@ def get_clean_string(text: str) -> str:
     return remove_chinese_punctuation(remove_english_punctuation(text))
 
 
-_T2S_WARNED = False
+_T2S_TABLE = None
+
+
+def _load_t2s_table() -> dict:
+    """Bundled ~2.1k-char traditional->simplified map (assets/t2s.txt, one
+    `<trad><simp>` pair per line). Char-level: deliberately conservative —
+    context-dependent characters whose char-level conversion would corrupt
+    classical text (著/乾/藉/祇) are left unmapped."""
+    global _T2S_TABLE
+    if _T2S_TABLE is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..", "assets", "t2s.txt")
+        table = {}
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                line = line.strip()
+                if len(line) == 2:
+                    table[ord(line[0])] = line[1]
+        _T2S_TABLE = table
+    return _T2S_TABLE
 
 
 def t2s(text: str) -> str:
-    """Traditional->simplified. OpenCC when present, identity otherwise."""
-    global _T2S_WARNED
+    """Traditional->simplified: OpenCC (phrase-aware) when present, the
+    bundled char-level table otherwise (evaluate.py:41 parity — offline
+    CalliBench F1/NED on traditional-script outputs stays meaningful)."""
     try:
         import opencc  # type: ignore
 
         return opencc.OpenCC("t2s").convert(text)
     except Exception:
-        if not _T2S_WARNED:
-            warnings.warn("opencc unavailable: traditional->simplified conversion skipped")
-            _T2S_WARNED = True
-        return text
+        return text.translate(_load_t2s_table())
 
 
 def levenshtein(a: Sequence, b: Sequence) -> int:

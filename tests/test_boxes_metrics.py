@@ -134,3 +134,22 @@ def test_draw_boxes(tmp_path):
     assert out.shape == img.shape
     assert (out != 255).any()
     assert (tmp_path / "o.png").exists()
+
+
+def test_t2s_bundled_table():
+    """Offline trad->simp conversion (evaluate.py:41 parity without opencc):
+    the bundled table must convert common traditional text, leave simplified
+    text untouched, and keep context-dependent chars (乾/著) unmapped."""
+    from callireader_tpu.evalx import metrics
+
+    assert metrics.t2s("書法藝術萬歲") == "书法艺术万岁"
+    assert metrics.t2s("漢字傳統與簡體轉換測試") == "汉字传统与简体转换测试"
+    assert metrics.t2s("已经是简体的文字不变") == "已经是简体的文字不变"
+    assert metrics.t2s("乾坤著作") == "乾坤著作"  # conservative: ambiguous chars kept
+    table = metrics._load_t2s_table()
+    assert len(table) >= 2000
+    # F1 on traditional prediction vs simplified GT is exact after t2s
+    pred = metrics.t2s(metrics.get_clean_string("觀滄海，東臨碣石。"))
+    gt = "观沧海东临碣石"
+    p, r, f1 = metrics.calculate_metrics(list(pred), list(gt))
+    assert f1 == 1.0
