@@ -57,6 +57,12 @@ def engine_logical_axes(cfg: VLMConfig, params: Dict[str, Any]) -> Dict[str, Any
     for name, sub in params.items():
         if name == "llm":
             a = internlm2.logical_axes(cfg.llm)
+            if any(k.endswith("_q") for k in sub["layers"]) or "output_q" in sub:
+                # int8 weights: _q leaves inherit the base spec, scales
+                # replicate except over the out-channel axis
+                from callireader_tpu.runtime.quantize import quantized_logical_axes
+
+                a = quantized_logical_axes(a, sub)
             # extend for any LoRA leaves present
             for leaf in sub["layers"]:
                 if leaf not in a["layers"]:
