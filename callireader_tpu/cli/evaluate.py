@@ -50,6 +50,10 @@ def main(argv=None):
                         help="subset of splits for full_page (easy/medium/hard) or choice (author/style/layout); default: all")
     parser.add_argument("--data-path", type=str, default=None,
                         help="mmbench TSV / refcoco JSON path (overrides --data)")
+    parser.add_argument("--mesh", type=str, default=None,
+                        help='SPMD eval mesh, e.g. "data=8" (rank-sharded '
+                        'batch eval) or "tensor=4,fsdp=2" (model sharding); '
+                        'a leftover data axis is added automatically')
     parser.add_argument("--rgb-chars", action="store_true",
                         help="full-RGB char canvases (bit-parity with the reference; 3x the transfer bytes of the luma default)")
     parser.add_argument("--gray-chars", action="store_true",
@@ -70,6 +74,7 @@ def main(argv=None):
     engine = build_engine(
         preset=args.preset, checkpoint_dir=args.checkpoint, random_init_ok=args.random_init,
         quant=args.quant, adapter_path=args.adapter, gray_chars=args.gray_chars,
+        mesh_spec=args.mesh,
     )
     if args.batch_size is None:
         import jax

@@ -299,6 +299,55 @@ def letterbox(image: np.ndarray, size: int) -> Tuple[np.ndarray, float, Tuple[in
     return out.astype(np.float32) / 255.0, scale, (px, py)
 
 
+def save_npz(path: str, params: Params) -> None:
+    """Flatten the detector pytree into one committable .npz ('/'-joined key
+    paths; list indices become numeric segments). The trained character
+    detector is ~5 MB — small enough to ship in-repo (assets/), the TPU
+    analogue of the reference's params/best.pt (config/configu.py:62)."""
+    flat: Dict[str, np.ndarray] = {}
+
+    def rec(prefix: str, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                rec(f"{prefix}/{k}" if prefix else str(k), v)
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                rec(f"{prefix}/{i}", v)
+        else:
+            a = np.asarray(node)
+            if a.dtype == np.float32:  # storage-only: halves the file
+                a = a.astype(np.float16)
+            flat[prefix] = a
+
+    rec("", params)
+    np.savez_compressed(path, **flat)
+
+
+def load_npz(path: str) -> Params:
+    """Inverse of save_npz: rebuild the nested pytree (numeric-keyed dicts
+    become lists)."""
+    data = np.load(path)
+    root: Dict[str, Any] = {}
+    for key in data.files:
+        node = root
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        a = data[key]
+        if a.dtype == np.float16:  # f16 is storage-only; compute in f32
+            a = a.astype(np.float32)
+        node[parts[-1]] = jnp.asarray(a)
+
+    def unflatten(node):
+        if not isinstance(node, dict):
+            return node
+        if node and all(k.isdigit() for k in node):
+            return [unflatten(node[k]) for k in sorted(node, key=int)]
+        return {k: unflatten(v) for k, v in node.items()}
+
+    return unflatten(root)
+
+
 class Detector:
     """ultralytics-YOLO-like callable: image array -> list of xyxy boxes."""
 

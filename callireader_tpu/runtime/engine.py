@@ -820,6 +820,35 @@ class CalliReaderEngine:
             "n": len(rows),
         }
 
+    def shard_rows_over_data(self, rows: Dict[str, Any]) -> Dict[str, Any]:
+        """Shard a batch_build_rows result over the mesh "data" axis — the
+        TPU analog of xtuner's rank-sharded distributed eval + collect_results
+        merge (/root/reference/train/xtuner/tools/mmbench.py:278,495-497).
+        The row batch is padded to a multiple of the data-axis size
+        (duplicating the last row) and embeds/mask are committed with
+        batch-dim sharding, so each data shard prefills/decodes only its own
+        rows; batch_decode's host readback is the merge, and rows["n"] keeps
+        the true count so pad rows are dropped there."""
+        mesh = self.mesh
+        if mesh is None or mesh.shape.get("data", 1) <= 1:
+            return rows
+        from jax.sharding import NamedSharding
+        from jax.sharding import PartitionSpec as P
+
+        d = int(mesh.shape["data"])
+        n = int(rows["embeds"].shape[0])
+        pad = (-n) % d
+        embeds, mask = rows["embeds"], np.asarray(rows["mask"])
+        if pad:
+            embeds = jnp.concatenate(
+                [embeds, jnp.repeat(embeds[-1:], pad, axis=0)], axis=0
+            )
+            mask = np.concatenate([mask, np.repeat(mask[-1:], pad, axis=0)], axis=0)
+        out = dict(rows)
+        out["embeds"] = jax.device_put(embeds, NamedSharding(mesh, P("data")))
+        out["mask"] = jax.device_put(jnp.asarray(mask), NamedSharding(mesh, P("data")))
+        return out
+
     def batch_prepare(
         self,
         images: Sequence[Any],
@@ -842,6 +871,7 @@ class CalliReaderEngine:
             images, questions, histories=histories, use_p=use_p,
             drop_zero=drop_zero, hard_vq=hard_vq,
         )
+        rows = self.shard_rows_over_data(rows)
         gen_cfg = gen.GenerateConfig(
             max_new_tokens=max_new_tokens,
             eos_token_ids=(

@@ -83,7 +83,10 @@ def detector_loss(
     params, cfg: DetectorConfig, images, gt_boxes, gt_mask,
     train_cfg: DetTrainConfig = DetTrainConfig(),
 ):
-    """images (B,S,S,3) in [0,1]; gt_boxes (B,M,4) xyxy px; gt_mask (B,M)."""
+    """images (B,S,S,3) in [0,1] f32 (or uint8, normalized here so page
+    banks transfer/store 4x smaller); gt_boxes (B,M,4) xyxy px; gt_mask (B,M)."""
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) / 255.0
     raw = det.forward_raw(params, cfg, images)
     cls_loss = 0.0
     box_loss = 0.0
@@ -110,8 +113,9 @@ def detector_loss(
 
 
 def make_optimizer(train_cfg: DetTrainConfig) -> optax.GradientTransformation:
+    warmup = min(train_cfg.warmup, max(1, train_cfg.total_steps // 5))
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, train_cfg.learning_rate, train_cfg.warmup, train_cfg.total_steps
+        0.0, train_cfg.learning_rate, warmup, train_cfg.total_steps
     )
     return optax.chain(
         optax.clip_by_global_norm(train_cfg.grad_clip),
@@ -176,6 +180,142 @@ def synth_pages(
             placed += 1
         imgs[b] = page.astype(np.float32) / 255.0
     return imgs, gt, mask
+
+
+def make_glyph(rng: np.random.RandomState, s: int) -> np.ndarray:
+    """Brush-stroke glyph: quadratic bezier strokes with varying thickness,
+    rasterized into an (s, s) ink mask in [0, 1]. Structurally closer to the
+    running-script fixture (examples/0.jpg) than rectangle strokes."""
+    mask = np.zeros((s, s), np.float32)
+    yy, xx = np.mgrid[0:s, 0:s]
+    for _ in range(rng.randint(3, 8)):
+        p0 = rng.uniform(0.05, 0.95, 2) * s
+        p1 = rng.uniform(-0.2, 1.2, 2) * s
+        p2 = rng.uniform(0.05, 0.95, 2) * s
+        r = rng.uniform(0.03, 0.09) * s + 0.6
+        t = np.linspace(0, 1, max(8, int(2.5 * s)))[:, None]
+        pts = ((1 - t) ** 2) * p0 + 2 * t * (1 - t) * p1 + (t**2) * p2
+        pts = pts.clip(0, s - 1)
+        # paint disks along the curve (vectorized per-point bounding windows)
+        for cx, cy in pts[:: max(1, len(pts) // 40)]:
+            x0, x1 = int(max(0, cx - r)), int(min(s, cx + r + 1))
+            y0, y1 = int(max(0, cy - r)), int(min(s, cy + r + 1))
+            d2 = (xx[y0:y1, x0:x1] - cx) ** 2 + (yy[y0:y1, x0:x1] - cy) ** 2
+            mask[y0:y1, x0:x1] = np.maximum(
+                mask[y0:y1, x0:x1], (d2 <= r * r).astype(np.float32)
+            )
+    return mask
+
+
+def make_glyph_bank(
+    rng: np.random.RandomState, n: int = 200, size: int = 48
+) -> np.ndarray:
+    return np.stack([make_glyph(rng, size) for _ in range(n)])
+
+
+def synth_calligraphy_pages(
+    rng: np.random.RandomState,
+    batch: int,
+    size: int,
+    max_boxes: int = 128,
+    glyph_bank: np.ndarray = None,
+):
+    """Letterboxed portrait calligraphy pages at fixture statistics
+    (examples/0.jpg: 788x2000 page, 6 columns, ~73 px chars -> ~23 px after
+    the Detector's 640 letterbox): bright paper with texture, brush-stroke
+    glyph columns (jittered size/position), red seal distractors that are
+    NOT ground truth. Returns (imgs (B,S,S,3) uint8, gt (B,M,4) xyxy px,
+    mask (B,M))."""
+    if glyph_bank is None:
+        glyph_bank = make_glyph_bank(rng)
+    gs = glyph_bank.shape[1]
+    imgs = np.empty((batch, size, size, 3), np.uint8)
+    gt = np.zeros((batch, max_boxes, 4), np.float32)
+    mask = np.zeros((batch, max_boxes), bool)
+    for b in range(batch):
+        canvas = np.full((size, size, 3), 114, np.uint8)  # letterbox gray
+        aspect = rng.uniform(0.33, 0.55)  # portrait content region
+        cw = int(size * aspect)
+        x_off = (size - cw) // 2
+        paper = rng.randint(228, 250)
+        page = np.full((size, cw, 3), paper, np.int16)
+        page += rng.randint(-8, 9, page.shape).astype(np.int16)  # texture
+        n_cols = rng.randint(4, 8)
+        col_w = cw / (n_cols + rng.uniform(0.5, 1.5))
+        s0 = col_w * rng.uniform(0.55, 0.85)  # base char size, px
+        placed = 0
+        for c in range(n_cols):
+            # right-to-left column order like the fixture
+            x_c = cw - (c + 1) * col_w + rng.uniform(-2, 2)
+            y = rng.uniform(0.02, 0.12) * size
+            while y < size * rng.uniform(0.75, 0.98) and placed < max_boxes:
+                s = int(np.clip(s0 * rng.uniform(0.6, 1.35), 6, 60))
+                x0 = int(np.clip(x_c + rng.uniform(-0.15, 0.15) * col_w, 0, cw - s))
+                y0 = int(y)
+                if y0 + s >= size:
+                    break
+                g = glyph_bank[rng.randint(len(glyph_bank))]
+                if s != gs:
+                    idx = (np.arange(s) * gs // s).clip(0, gs - 1)
+                    g = g[idx][:, idx]
+                ink = rng.randint(5, 80)
+                region = page[y0 : y0 + s, x0 : x0 + s]
+                region[:] = (region * (1 - g[..., None]) + ink * g[..., None]).astype(np.int16)
+                gt[b, placed] = [x_off + x0, y0, x_off + x0 + s, y0 + s]
+                mask[b, placed] = True
+                placed += 1
+                y += s * rng.uniform(1.02, 1.35)
+        # red seal distractors (stamps are not characters)
+        for _ in range(rng.randint(0, 3)):
+            ss = int(s0 * rng.uniform(0.6, 1.2))
+            sx = rng.randint(0, max(1, cw - ss))
+            sy = rng.randint(0, max(1, size - ss))
+            seal = np.array([rng.randint(150, 210), rng.randint(25, 60), rng.randint(35, 70)])
+            blob = rng.rand(ss, ss) > 0.45
+            page[sy : sy + ss, sx : sx + ss][blob] = seal
+        canvas[:, x_off : x_off + cw] = page.clip(0, 255).astype(np.uint8)
+        imgs[b] = canvas
+    return imgs, gt, mask
+
+
+def fixture_recall(
+    params,
+    cfg: DetectorConfig,
+    image_path: str = "/root/reference/examples/0.jpg",
+    json_path: str = "/root/reference/examples/0.json",
+    iou_thr: float = 0.5,
+):
+    """recall/precision@IoU of the full Detector pipeline against the
+    reference fixture's labelme GT boxes (inference.py:98 deployment check).
+    Returns (recall, precision, n_pred)."""
+    import json
+
+    from PIL import Image
+
+    img = np.asarray(Image.open(image_path).convert("RGB"))
+    H, W = img.shape[:2]
+    with open(json_path) as f:
+        d = json.load(f)
+    gts = np.array(
+        [[p["points"][0][0] * W, p["points"][0][1] * H,
+          p["points"][1][0] * W, p["points"][1][1] * H] for p in d["shapes"]],
+        np.float32,
+    )
+    pred = det.Detector(params, cfg)(img)
+    if not pred:
+        return 0.0, 0.0, 0
+    pred = np.asarray(pred, np.float32)
+    x1 = np.maximum(pred[:, None, 0], gts[None, :, 0])
+    y1 = np.maximum(pred[:, None, 1], gts[None, :, 1])
+    x2 = np.minimum(pred[:, None, 2], gts[None, :, 2])
+    y2 = np.minimum(pred[:, None, 3], gts[None, :, 3])
+    inter = np.maximum(0, x2 - x1) * np.maximum(0, y2 - y1)
+    area_p = (pred[:, 2] - pred[:, 0]) * (pred[:, 3] - pred[:, 1])
+    area_g = (gts[:, 2] - gts[:, 0]) * (gts[:, 3] - gts[:, 1])
+    iou = inter / np.maximum(area_p[:, None] + area_g[None, :] - inter, 1e-9)
+    recall = float((iou.max(axis=0) >= iou_thr).mean())
+    precision = float((iou.max(axis=1) >= iou_thr).mean())
+    return recall, precision, len(pred)
 
 
 def detection_recall(
