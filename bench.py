@@ -2,53 +2,73 @@
 
 Measures the COMPLETE chat_ocr pipeline on the flagship single-chip config
 (callireader-2b: full CalliReader layer topology, depth reduced to fit one
-v5e chip in bf16), on a synthetic page that structurally matches the
-reference's examples/0.jpg fixture (788x2000, 96 ink chars in 6 columns):
+v5e chip in bf16) on the reference fixture page /root/reference/examples/0.jpg
+(788x2000, 96 chars in 6 columns; synthetic structural clone as fallback):
 
   per image: dynamic tiling -> ViT -> projector         (device)
              YOLO detector forward on the full page     (device)
              dedup -> kmeans -> merge -> OrderFormer -> per-column sort (host)
-             96 char crops -> scale/pad (native lib) -> luma transfer ->
-             ViT -> perceiver resampler -> cosine VQ -> denorm
+             char crops -> scale/pad (native lib) -> luma transfer ->
+             fused ViT+resampler+VQ char pipeline (one dispatch per window)
              prompt build + pseudo/image token splice
   then:      ONE prefill + ONE fused on-device decode loop (256 tokens) for
              the whole batch — decode HBM traffic amortizes across images,
              the structural win over the reference's sequential evaluate.py
              loop (evaluate.py:142-143).
 
-The detector carries random weights (no trained checkpoint is shipped), so
-its forward pass is timed for cost but the box pipeline runs on the page's
-known ground-truth boxes — realistic box counts, deterministic behavior.
+Detection is REAL when the trained checkpoint
+(callireader_tpu/assets/detector_640.npz, scripts/train_detector.py) is
+present: the box pipeline consumes the detector's own predictions on the real
+page. Set BENCH_GT_BOXES=1 (or delete the ckpt) for the legacy GT-box stub
+(forward still timed). The workload fingerprint in the JSON records which.
 
-Reported (ONE JSON line):
-  value        imgs/sec = BATCH / median(per-batch completion intervals)
-  p50_ttft_ms  median time from image start to first token (vision + align +
-               prefill + first-logits readback), single-request
-  spread       (max-min)/median of the batch intervals (run stability)
-The reference publishes no numbers (BASELINE.md) -> vs_baseline is null.
+Measurement protocol (VERDICT r2: the single-warmup bench never reached
+steady state in the cold driver environment and reported a warmup artifact):
+  1. compile warmup: one full pipelined batch, synced
+  2. TTFT: warm the single-image path once, then N_TTFT timed samples
+  3. throughput: pipelined batches run until the last 3 intervals agree
+     within 10% (cap WARM_CAP_S), THEN N_BATCHES intervals are recorded
+  value  = BATCH / median(measured intervals);  spread = IQR / median
+
+Reported (ONE JSON line): value, p50_ttft_ms, interval_spread, workload
+fingerprint, convergence diagnostics. The reference publishes no numbers
+(BASELINE.md) -> vs_baseline null.
 """
 
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
 BATCH = 8
-N_BATCHES = 8
-N_TTFT = 3
+N_BATCHES = 12  # tunnel stalls hit ~1-2 intervals/run; a wider window keeps
+# the median/IQR anchored on the pipeline, not the stall
+N_TTFT = 5
 DECODE_TOKENS = 256
+CONVERGE_WINDOW = 3
+CONVERGE_TOL = 0.10
+WARM_CAP_S = 600.0
+MAX_WARM_BATCHES = 24
 PAGE_W, PAGE_H = 788, 2000
 N_COLS, CHARS_PER_COL = 6, 16
 
+FIXTURE_IMG = "/root/reference/examples/0.jpg"
+FIXTURE_JSON = "/root/reference/examples/0.json"
+DET_CKPT = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "callireader_tpu", "assets", "detector_640.npz",
+)
+
 
 def make_page(seed: int = 0):
-    """Synthetic calligraphy page: 96 dark glyph blocks in 6 columns on paper,
-    structurally matching the reference fixture (examples/0.json layout).
-    Returns (page uint8 (H, W, 3), flat boxes [[x1,y1,x2,y2], ...])."""
+    """Synthetic calligraphy page, structural clone of the fixture layout
+    (used only when /root/reference is unavailable). Returns
+    (page uint8 (H, W, 3), flat boxes)."""
     rng = np.random.RandomState(seed)
     page = np.full((PAGE_H, PAGE_W, 3), 235, np.uint8)
-    page += rng.randint(0, 18, page.shape).astype(np.uint8)  # paper texture
+    page += rng.randint(0, 18, page.shape).astype(np.uint8)
     boxes = []
     col_w = PAGE_W // (N_COLS + 1)
     for c in range(N_COLS):
@@ -57,7 +77,6 @@ def make_page(seed: int = 0):
             y0 = 40 + r * (PAGE_H - 80) // CHARS_PER_COL
             w = rng.randint(55, 75)
             h = rng.randint(55, 75)
-            # glyph: random ink strokes
             glyph = np.full((h, w, 3), 245, np.uint8)
             for _ in range(6):
                 sx, sy = rng.randint(0, w - 8), rng.randint(0, h - 8)
@@ -66,6 +85,33 @@ def make_page(seed: int = 0):
             page[y0 : y0 + h, x0 : x0 + w] = glyph
             boxes.append([float(x0), float(y0), float(x0 + w), float(y0 + h)])
     return page, boxes
+
+
+def load_page():
+    """(page, gt_boxes, source) — the real fixture when available."""
+    if os.path.exists(FIXTURE_IMG) and os.path.exists(FIXTURE_JSON):
+        from PIL import Image
+
+        img = np.asarray(Image.open(FIXTURE_IMG).convert("RGB"))
+        H, W = img.shape[:2]
+        with open(FIXTURE_JSON) as f:
+            d = json.load(f)
+        boxes = [
+            [p["points"][0][0] * W, p["points"][0][1] * H,
+             p["points"][1][0] * W, p["points"][1][1] * H]
+            for p in d["shapes"]
+        ]
+        return img, boxes, "reference_fixture_0.jpg"
+    page, boxes = make_page()
+    return page, boxes, "synthetic_clone"
+
+
+def converged(intervals):
+    if len(intervals) < CONVERGE_WINDOW:
+        return False
+    last = intervals[-CONVERGE_WINDOW:]
+    med = float(np.median(last))
+    return (max(last) - min(last)) <= CONVERGE_TOL * med
 
 
 def main():
@@ -77,6 +123,7 @@ def main():
     enable_compilation_cache()
 
     from callireader_tpu.core.config import callireader_2b
+    from callireader_tpu.models import detector as det_mod
     from callireader_tpu.models import internlm2
     from callireader_tpu.runtime import generate as gen
     from callireader_tpu.runtime.conversation import build_chat_prompt
@@ -94,23 +141,46 @@ def main():
     tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
     engine = CalliReaderEngine(cfg, params, tok, use_flash=on_tpu)
 
-    page, gt_flat = make_page()
-    real_detector = engine.detector
+    page, gt_flat, page_source = load_page()
 
-    class StubDetector:
-        """Runs the REAL detector forward (cost counted) but returns the
-        page's ground-truth boxes (the shipped detector carries random
-        weights, so its raw boxes would make box counts nondeterministic)."""
+    use_real_det = os.path.exists(DET_CKPT) and not os.environ.get("BENCH_GT_BOXES")
+    det_mode = "gt_stub"
+    if use_real_det:
+        import dataclasses as _dc
 
-        def __call__(self, img):
-            _ = real_detector(img)
-            return [list(b) for b in gt_flat]
+        # chars in a column grid barely overlap: NMS IoU 0.45 (vs the 0.7
+        # general-object default) kills cross-scale duplicate boxes that
+        # would double the char-encode workload downstream
+        det_cfg = _dc.replace(cfg.detector, conf_threshold=0.4, iou_threshold=0.45)
+        det_params = det_mod.load_npz(DET_CKPT)
+        real = det_mod.Detector(det_params, det_cfg)
+        n_found = len(real(page))
+        print(f"[bench] trained detector: {n_found} boxes on the page "
+              f"(GT {len(gt_flat)})", file=sys.stderr)
+        if n_found >= 50:
+            engine.params["detector"] = det_params
+            engine.detector = real
+            det_mode = "trained_ckpt"
+        else:
+            print("[bench] detector found <50 boxes; falling back to GT stub",
+                  file=sys.stderr)
+            use_real_det = False
+    if not use_real_det:
+        real_detector = engine.detector
 
-        def batch(self, images):
-            _ = real_detector.batch(images)
-            return [[list(b) for b in gt_flat] for _ in images]
+        class StubDetector:
+            """Runs the detector forward (cost counted) but returns the GT
+            boxes (deterministic box counts without a trained ckpt)."""
 
-    engine.detector = StubDetector()
+            def __call__(self, img):
+                _ = real_detector(img)
+                return [list(b) for b in gt_flat]
+
+            def batch(self, images):
+                _ = real_detector.batch(images)
+                return [[list(b) for b in gt_flat] for _ in images]
+
+        engine.detector = StubDetector()
 
     def build_row():
         """The full chat_ocr front half for one image -> (embeds, mask)."""
@@ -120,22 +190,17 @@ def main():
             cfg.use_thumbnail, as_uint8=True,
         )
         img_embeds = engine.encode_image_tiles(pixel_values)
-        q = "<image>\n读出图中所有文字。" + ALIGNED * pseudo.shape[0]
+        n_pseudo = pseudo.shape[0] if pseudo is not None else 0
+        q = "<image>\n读出图中所有文字。" + ALIGNED * n_pseudo
         conv = build_chat_prompt(q)
         query = engine._expand_image_tokens(conv.get_prompt(), [pixel_values.shape[0]])
         ids = engine._tokenize_prompt(query)
         bucket = gen.bucket_length(len(ids))
         return engine._build_row_embeds(ids, img_embeds, pseudo, bucket)
 
-    gcfg = gen.GenerateConfig(
-        max_new_tokens=DECODE_TOKENS,
-        eos_token_ids=(-1,),  # random weights: fixed decode budget
-        repetition_penalty=1.0,
-    )
-
     def build_batch():
         """The engine's batched vision front end: one detector + one
-        OrderFormer forward for the whole batch, union char encode in
+        OrderFormer forward for the whole batch, fused char pipeline in
         bounded windows, chunked tile encode — all async dispatch."""
         return engine.batch_build_rows(
             [page] * BATCH, ["读出图中所有文字。"] * BATCH, use_p=True,
@@ -148,24 +213,24 @@ def main():
             repetition_penalty=1.0, eos_token_ids=(-1,),
         )
 
-    def dispatch_batch():
-        return launch(build_batch())
+    def sync(prepared):
+        assert (np.asarray(prepared["lengths"]) == DECODE_TOKENS).all()
 
-    # ---- warmup: compiles every program in the path ----
+    # ---- 1. compile warmup: every program in the batched path ----
     t0 = time.time()
-    prepared = dispatch_batch()
-    assert (np.asarray(prepared["lengths"]) == DECODE_TOKENS).all()  # full sync
-    print(f"[bench] warmup: {time.time()-t0:.1f}s", file=sys.stderr)
-    print(
-        f"[bench] per-image work: {len(gt_flat)} chars, "
-        f"{preprocess.load_image(page, cfg.force_image_size, cfg.max_dynamic_patch, cfg.use_thumbnail).shape[0]} tiles, "
-        f"{DECODE_TOKENS} decode tokens",
-        file=sys.stderr,
-    )
+    sync(launch(build_batch()))
+    warmup_s = time.time() - t0
+    n_tiles = preprocess.load_image(
+        page, cfg.force_image_size, cfg.max_dynamic_patch, cfg.use_thumbnail
+    ).shape[0]
+    # chars actually encoded per image: post-dedup reading-order box count
+    n_chars = len(engine.sort_boxes(page)) if det_mode == "trained_ckpt" else len(gt_flat)
+    print(f"[bench] warmup: {warmup_s:.1f}s; per-image work: {n_chars} chars "
+          f"({det_mode}), {n_tiles} tiles, {DECODE_TOKENS} decode tokens",
+          file=sys.stderr)
 
-    # ---- TTFT: single image, vision+align+prefill+first-logits readback ----
-    ttfts = []
-    for _ in range(N_TTFT):
+    # ---- 2. TTFT: warm the single-image path, then timed samples ----
+    def ttft_once():
         t0 = time.time()
         e, m = build_row()
         logits, _cache = internlm2.prefill(
@@ -173,50 +238,63 @@ def main():
             attention_mask=jnp.asarray(m),
             max_len=e.shape[1] + DECODE_TOKENS, use_flash=on_tpu,
         )
-        first = int(np.asarray(jnp.argmax(logits[0])))  # d2h sync
-        ttfts.append((time.time() - t0) * 1e3)
-    p50_ttft = float(np.median(ttfts))
-    print(f"[bench] TTFT ms: {[round(t) for t in ttfts]} -> p50 {p50_ttft:.0f}", file=sys.stderr)
+        _ = int(np.asarray(jnp.argmax(logits[0])))  # d2h sync
+        return (time.time() - t0) * 1e3
 
-    # ---- throughput: pipelined batches, per-batch completion intervals ----
+    ttft_warm = ttft_once()  # compiles the single-row programs
+    ttft_warm2 = ttft_once()  # settles allocator/tunnel state post-compile
+    ttfts = [ttft_once() for _ in range(N_TTFT)]
+    p50_ttft = float(np.median(ttfts))
+    print(f"[bench] TTFT ms: warm {ttft_warm:.0f}/{ttft_warm2:.0f}; samples "
+          f"{[round(t) for t in ttfts]} -> p50 {p50_ttft:.0f}", file=sys.stderr)
+
+    # ---- 3. throughput: pipeline to convergence, then measure ----
     # One generate in flight; batch N+1's vision/box/transfer work is issued
     # BEFORE syncing batch N's decode, so the char h2d rides the DMA engines
-    # while the decode loop owns the compute core (+68% over sequential).
+    # while the decode loop owns the compute core.
     engine.timings.spans.clear()
-    marks = [time.time()]
-    prev = dispatch_batch()
-    for _ in range(N_BATCHES - 1):
-        # batch N+1's vision work overlaps batch N's in-flight decode, but
-        # its generate (and KV cache) launches only after batch N retires —
-        # two live caches crowd HBM (measured slower)
-        nxt_rows = build_batch()
-        assert (np.asarray(prev["lengths"]) == DECODE_TOKENS).all()  # sync N
-        marks.append(time.time())
-        prev = launch(nxt_rows)
-    assert (np.asarray(prev["lengths"]) == DECODE_TOKENS).all()
-    marks.append(time.time())
+    warm_iv = []
+    t_warm = time.time()
+    prev = launch(build_batch())
+    last = time.time()
+    while not converged(warm_iv) and (time.time() - t_warm) < WARM_CAP_S \
+            and len(warm_iv) < MAX_WARM_BATCHES:
+        rows = build_batch()
+        sync(prev)
+        now = time.time()
+        warm_iv.append(now - last)
+        last = now
+        prev = launch(rows)
+    did_converge = converged(warm_iv)
+    print(f"[bench] convergence: {len(warm_iv)} batches "
+          f"{[round(v, 2) for v in warm_iv]} -> "
+          f"{'converged' if did_converge else 'CAP HIT'}", file=sys.stderr)
 
-    intervals = np.diff(marks)
-    # steady-state intervals: the first carries the unoverlapped prep of
-    # batch 1 (nothing was in flight yet) and the last is only batch N's
-    # residual decode (its prep was counted earlier) — both are structural
-    # artifacts of the one-in-flight pipeline, not throughput signal
-    steady = intervals[1:-1] if len(intervals) >= 4 else intervals
+    intervals = []
+    for _ in range(N_BATCHES - 1):
+        rows = build_batch()
+        sync(prev)
+        now = time.time()
+        intervals.append(now - last)
+        last = now
+        prev = launch(rows)
+    sync(prev)  # final batch: decode tail only, not a pipelined interval
+    intervals.append(time.time() - last)
+    steady = intervals[:-1]  # last interval lacks an overlapped build
+
     med = float(np.median(steady))
     ips = BATCH / med
     # IQR-based spread: the dev tunnel occasionally stalls for minutes mid
-    # run (observed 264s against 9s steady intervals); a max-min spread would
-    # report the tunnel, not the pipeline
+    # run; a max-min spread would report the tunnel, not the pipeline
     q25, q75 = np.percentile(steady, [25, 75])
     spread = float((q75 - q25) / med)
-    worst = float(steady.max())
     print(
         f"[bench] host-stage totals: "
         f"{ {k: round(v, 2) for k, v in engine.timings.spans.items()} }",
         file=sys.stderr,
     )
     print(
-        f"[bench] batch intervals: {[round(v, 2) for v in intervals]}s "
+        f"[bench] measured intervals: {[round(v, 2) for v in intervals]}s "
         f"(median {med:.2f}, spread {spread:.2f}) -> {ips:.4f} imgs/s",
         file=sys.stderr,
     )
@@ -229,8 +307,25 @@ def main():
                 "vs_baseline": None,
                 "p50_ttft_ms": round(p50_ttft, 1),
                 "interval_spread": round(spread, 3),
-                "worst_interval_s": round(worst, 2),
+                "worst_interval_s": round(float(max(steady)), 2),
                 "batches": [round(float(v), 3) for v in intervals],
+                "converged": bool(did_converge),
+                "warm_batches": len(warm_iv),
+                "warmup_s": round(warmup_s, 1),
+                "workload": {
+                    "batch": BATCH,
+                    "page": page_source,
+                    "detector": det_mode,
+                    "chars_per_image": int(n_chars),
+                    "tiles_per_image": int(n_tiles),
+                    "decode_tokens": DECODE_TOKENS,
+                    "stages": [
+                        "dynamic_tiling", "vit_projector", "detector_forward",
+                        "box_pipeline(dedup,kmeans,merge,orderformer)",
+                        "char_crops", "fused_char_vit_resampler_vq",
+                        "double_splice", "prefill", "fused_decode",
+                    ],
+                },
             }
         )
     )

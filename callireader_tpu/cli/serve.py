@@ -4,7 +4,10 @@
       --slots 8 --checkpoint ...
 
 Request lines: {"id": ..., "question": "...", "image": "path.jpg"?,
-                "use_p": true?, "max_new_tokens": 1024?}
+                "use_p": true?, "max_new_tokens": 1024?, "stop_tokens": [id..]?}
+`stop_tokens` are extra per-request stop ids on top of the template's eos —
+the serving analog of the reference chat tool's StopWordStoppingCriteria
+(train/xtuner/utils/stop_criteria.py:5).
 The vision/CalliAlign front half runs per request (bucketed jitted programs);
 decode rides the slot scheduler (runtime/serving.py) so every step advances all
 in-flight requests — short answers retire early and free their slot.
@@ -165,7 +168,7 @@ def main(argv=None):
                 Request(
                     uid, row,
                     max_new_tokens=int(rec.get("max_new_tokens", 1024)),
-                    eos_token_ids=eos,
+                    eos_token_ids=eos + tuple(int(t) for t in rec.get("stop_tokens", ())),
                     repetition_penalty=float(
                         rec.get("repetition_penalty", args.repetition_penalty)
                     ),
@@ -191,6 +194,7 @@ def main(argv=None):
                 else:
                     text = engine.tok.decode(r.tokens, skip_special_tokens=True)
                     out["response"] = text.split(sep)[0].strip()
+                    out["n_tokens"] = len(r.tokens)
             f.write(json.dumps(out, ensure_ascii=False) + "\n")
     dt = time.time() - t0
     total_toks = sum(len(r.tokens) for r in done)

@@ -193,6 +193,8 @@ def _head_branch(p, x):
 
 
 def forward_features(params: Params, x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    if x.dtype == jnp.uint8:  # uint8 h2d path: normalize on device
+        x = x.astype(jnp.float32) / 255.0
     b = params["backbone"]
     x = _conv(b["stem"], x, 2)        # P1
     x = _conv(b["down1"], x, 2)       # P2
@@ -284,7 +286,8 @@ def nms_numpy(boxes: np.ndarray, scores: np.ndarray, iou_thr: float, max_det: in
 
 def letterbox(image: np.ndarray, size: int) -> Tuple[np.ndarray, float, Tuple[int, int]]:
     """Resize keeping aspect, pad to (size, size) with gray. Returns
-    (padded f32 [0,1], scale, (pad_x, pad_y))."""
+    (padded uint8, scale, (pad_x, pad_y)) — uint8 so the h2d ships 4x fewer
+    bytes (normalization happens on device in forward)."""
     h, w = image.shape[:2]
     scale = min(size / h, size / w)
     nh, nw = int(round(h * scale)), int(round(w * scale))
@@ -296,7 +299,7 @@ def letterbox(image: np.ndarray, size: int) -> Tuple[np.ndarray, float, Tuple[in
     out = np.full((size, size, 3), 114, np.uint8)
     px, py = (size - nw) // 2, (size - nh) // 2
     out[py : py + nh, px : px + nw] = resized
-    return out.astype(np.float32) / 255.0, scale, (px, py)
+    return out, scale, (px, py)
 
 
 def save_npz(path: str, params: Params) -> None:

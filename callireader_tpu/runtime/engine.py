@@ -298,14 +298,12 @@ class CalliReaderEngine:
             ).astype(np.uint8)
         return stack
 
-    def _encode_chars_fused(
+    def _char_parts(
         self, raw_crops: List[np.ndarray], *, hard_vq: bool = False
-    ) -> Tuple[jax.Array, jax.Array]:
-        """Crops -> reading-order (pseudo (N*n_learns, E), idx (N, L)) with
-        G+1 device dispatches for G canvas-bucket groups (typically 2): one
-        fused char_pipeline per group + one reorder/unpad program. Replaces
-        the r2 path of per-group encode + eager concat/argsort/pad +
-        resample_vq (~6 dispatches/window through the tunnel RPC)."""
+    ) -> Tuple[List[jax.Array], List[jax.Array], List[int], List[np.ndarray]]:
+        """One fused char_pipeline dispatch per canvas-bucket group over
+        ``raw_crops``; returns (parts_ps, parts_ix, real_counts,
+        original-index arrays) for a later single reorder program."""
         t0 = time.time()
         groups = self._prep_char_crop_groups(raw_crops)
         self.timings.add("char_crops", time.time() - t0)
@@ -320,8 +318,22 @@ class CalliReaderEngine:
             parts_ix.append(ix)
             ns.append(n)
             idx_order.append(idxs)
-        all_idx = np.concatenate(idx_order)
-        perm = np.argsort(all_idx)
+        self.timings.add("vit_resampler_vq", time.time() - t0)
+        return parts_ps, parts_ix, ns, idx_order
+
+    def _encode_chars_fused(
+        self, raw_crops: List[np.ndarray], *, hard_vq: bool = False
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Crops -> reading-order (pseudo (N*n_learns, E), idx (N, L)) with
+        G+1 device dispatches for G canvas-bucket groups (typically 2): one
+        fused char_pipeline per group + one reorder/unpad program. Replaces
+        the r2 path of per-group encode + eager concat/argsort/pad +
+        resample_vq (~6 dispatches/window through the tunnel RPC)."""
+        parts_ps, parts_ix, ns, idx_order = self._char_parts(
+            raw_crops, hard_vq=hard_vq
+        )
+        t0 = time.time()
+        perm = np.argsort(np.concatenate(idx_order))
         pseudo, idx = _reorder_char_parts(
             tuple(parts_ps), tuple(parts_ix), jnp.asarray(perm),
             tuple(ns), self.cfg.resampler.num_learns,
@@ -489,15 +501,25 @@ class CalliReaderEngine:
         n_learns = self.cfg.resampler.num_learns
         n_total = len(all_crops)
         win = CHAR_BUCKETS[-1]
-        pseudos, indices = [], []
+        # windows bound the per-dispatch ViT feature footprint; the tiny
+        # pseudo outputs of ALL windows reassemble in ONE reorder program
+        # (global perm) instead of one per window + a concat
+        parts_ps, parts_ix, ns, idx_parts = [], [], [], []
         for lo in range(0, n_total, win):
-            ps, idx = self._encode_chars_fused(
+            pp, pi, nn, ii = self._char_parts(
                 all_crops[lo : lo + win], hard_vq=hard_vq
             )
-            pseudos.append(ps)
-            indices.append(idx)
-        pseudo_all = pseudos[0] if len(pseudos) == 1 else jnp.concatenate(pseudos)
-        idx_all = indices[0] if len(indices) == 1 else jnp.concatenate(indices)
+            parts_ps += pp
+            parts_ix += pi
+            ns += nn
+            idx_parts += [i + lo for i in ii]
+        t0 = time.time()
+        perm = np.argsort(np.concatenate(idx_parts))
+        pseudo_all, idx_all = _reorder_char_parts(
+            tuple(parts_ps), tuple(parts_ix), jnp.asarray(perm),
+            tuple(ns), n_learns,
+        )
+        self.timings.add("vit_resampler_vq", time.time() - t0)
 
         out: List[Tuple[Optional[Any], Optional[Any]]] = []
         off = 0
@@ -565,6 +587,8 @@ class CalliReaderEngine:
         return np.asarray(ids, np.int32)
 
     PSEUDO_ROW_BUCKETS = (24, 48, 96, 192, 384, 576, 768, 960)
+    # batch-level unions (batch_build_rows one-dispatch embed build)
+    BATCH_PSEUDO_ROW_BUCKETS = (1536, 2304, 3072, 4608, 6144, 7680)
 
     @staticmethod
     def _pad_rows(arr: jax.Array, buckets: Sequence[int]) -> jax.Array:
@@ -789,27 +813,65 @@ class CalliReaderEngine:
 
         rows = []
         out_questions = []
-        off = 0
         for i, (image, question, history) in enumerate(zip(images, questions, histories)):
-            pixel_values = pixel_list[i]
-            img_embeds = all_feats[off : off + tile_counts[i]]
-            off += tile_counts[i]
             pseudo = aligned[i][0]
             q = "<image>\n" + question if "<image>" not in question else question
             if history is None and use_p and pseudo is not None and ALIGNED not in q:
                 q = q + ALIGNED * pseudo.shape[0]
             out_questions.append(q)
             conv = build_chat_prompt(q, history)
-            query = self._expand_image_tokens(conv.get_prompt(), [pixel_values.shape[0]])
+            query = self._expand_image_tokens(conv.get_prompt(), [pixel_list[i].shape[0]])
             ids = self._tokenize_prompt(query)
-            rows.append((ids, img_embeds, pseudo))
+            rows.append((ids, pseudo))
 
         bucket = gen.bucket_length(max(len(r[0]) for r in rows))
-        built = [
-            self._build_row_embeds(ids, img, ps, bucket) for ids, img, ps in rows
-        ]
-        embeds = jnp.concatenate([e for e, _ in built], axis=0)  # stays on device
-        mask = np.concatenate([m for _, m in built], axis=0)
+        B = len(rows)
+        padded_ids = np.full((B, bucket), self.tok.pad_token_id, np.int32)
+        mask = np.zeros((B, bucket), np.int32)
+        for i, (ids, _) in enumerate(rows):
+            padded_ids[i, bucket - len(ids):] = ids
+            mask[i, bucket - len(ids):] = 1
+
+        # splice_embeds consumes replacement rows in row-major slot order
+        # across the WHOLE batch, so the full build is ONE dispatch (vs one
+        # per row + a concat — ~9 tunnel RPCs at batch 8) — provided every
+        # row's slot count matches its replacement rows exactly. Verify on
+        # host and fall back to the per-row path on any mismatch (e.g. a
+        # history turn carrying pseudo with no ALIGNED slots).
+        nit = self.cfg.num_image_token
+        ctx_id, al_id = self.cfg.img_context_token_id, self.cfg.aligned_token_id
+        batched_ok = all(
+            int(np.sum(padded_ids[i] == ctx_id)) == tile_counts[i] * nit
+            and int(np.sum(padded_ids[i] == al_id))
+            == (0 if ps is None else int(ps.shape[0]))
+            for i, (_, ps) in enumerate(rows)
+        )
+        if batched_ok:
+            E = all_feats.shape[-1]
+            img_flat = self._pad_rows(
+                all_feats.reshape(-1, E),
+                [b * nit for b in (*preprocess.TILE_BUCKETS, *self.BATCH_TILE_BUCKETS)],
+            )
+            pseudo_parts = [ps for _, ps in rows if ps is not None]
+            pseudo_flat = None
+            if pseudo_parts:
+                cat = (pseudo_parts[0] if len(pseudo_parts) == 1
+                       else jnp.concatenate(pseudo_parts, axis=0))
+                pseudo_flat = self._pad_rows(
+                    jnp.asarray(cat),
+                    (*self.PSEUDO_ROW_BUCKETS, *self.BATCH_PSEUDO_ROW_BUCKETS),
+                )
+            embeds = self._build_embeds(
+                self.params, jnp.asarray(padded_ids), img_flat, pseudo_flat
+            )
+        else:
+            off = 0
+            built = []
+            for i, (ids, ps) in enumerate(rows):
+                img_embeds = all_feats[off : off + tile_counts[i]]
+                off += tile_counts[i]
+                built.append(self._build_row_embeds(ids, img_embeds, ps, bucket))
+            embeds = jnp.concatenate([e for e, _ in built], axis=0)
         return {
             "embeds": embeds,
             "mask": mask,

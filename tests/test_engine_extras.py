@@ -246,3 +246,48 @@ def test_fused_char_pipeline_matches_separate_programs(engine):
         rtol=2e-5, atol=2e-5,
     )
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(si)[:n])
+
+
+def test_batched_embed_build_matches_per_row(engine):
+    """batch_build_rows' one-dispatch embed build must equal the per-row
+    splice + concat exactly; a history turn (pseudo computed but no ALIGNED
+    slots) must trip the host-side count check into the per-row fallback."""
+    engine.detector = lambda img: [[8.0, 8.0, 24.0, 24.0], [33.0, 18.0, 49.0, 34.0]]
+    imgs = [np.asarray(_img(11)), np.asarray(_img(12)), np.asarray(_img(13))]
+    qs = ["读出图中所有文字。", "作者是谁？", "这幅书法作品内容是什么？"]
+    rows = engine.batch_build_rows(imgs, qs)
+
+    # per-row reference build from the same aligned/pixel inputs
+    from callireader_tpu.runtime import generate as gen
+    from callireader_tpu.runtime.conversation import build_chat_prompt
+    from callireader_tpu.runtime.engine import ALIGNED
+    from callireader_tpu.vision import preprocess
+
+    per_row = []
+    for img, q in zip(imgs, qs):
+        pseudo, _ = engine.calli_align(img)
+        pv = preprocess.load_image(
+            img, engine.cfg.force_image_size, engine.cfg.max_dynamic_patch,
+            engine.cfg.use_thumbnail, as_uint8=True,
+        )
+        feats = engine.encode_image_tiles(pv)
+        q2 = "<image>\n" + q + ALIGNED * pseudo.shape[0]
+        conv = build_chat_prompt(q2)
+        ids = engine._tokenize_prompt(
+            engine._expand_image_tokens(conv.get_prompt(), [pv.shape[0]])
+        )
+        e, m = engine._build_row_embeds(ids, feats, pseudo, rows["bucket"])
+        per_row.append((e, m))
+    ref = jnp.concatenate([e for e, _ in per_row], axis=0)
+    np.testing.assert_allclose(
+        np.asarray(rows["embeds"]), np.asarray(ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_array_equal(
+        rows["mask"], np.concatenate([m for _, m in per_row], axis=0)
+    )
+
+    # history case: pseudo exists but no ALIGNED slots -> fallback, no crash,
+    # and decode still works
+    hists = [[("之前的问题", "之前的回答")], None, None]
+    out = engine.batch_chat_ocr(imgs, qs, histories=hists, max_new_tokens=3)
+    assert len(out) == 3 and all(isinstance(o, str) for o in out)
