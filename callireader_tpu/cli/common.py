@@ -24,6 +24,7 @@ def build_engine(
     lora_rank: int = 128,
     lora_alpha: float = 256.0,
     gray_chars: bool = True,
+    device_resize_chars: bool = True,
     mesh_spec: Optional[str] = None,
 ) -> CalliReaderEngine:
     """``mesh_spec``: e.g. "tensor=4,fsdp=2" — SPMD inference over all local
@@ -111,4 +112,7 @@ def build_engine(
         mesh = spmd.make_mesh(shape)
         print(f"[engine] SPMD mesh: {dict(mesh.shape)}", file=sys.stderr)
 
-    return CalliReaderEngine(cfg, params, tok, gray_chars=gray_chars, mesh=mesh)
+    return CalliReaderEngine(
+        cfg, params, tok, gray_chars=gray_chars,
+        device_resize_chars=device_resize_chars, mesh=mesh,
+    )

@@ -59,6 +59,9 @@ def main(argv=None):
     parser.add_argument("--gray-chars", action="store_true",
                         help="ship char canvases as single-channel luma (3x fewer "
                         "host-link bytes; NOT bit-identical to RGB crops)")
+    parser.add_argument("--device-resize-chars", action="store_true",
+                        help="ship RAW char crops and bicubic-resize on device "
+                        "(~10x fewer host-link bytes; near- but not bit-identical)")
     args = parser.parse_args(argv)
     if getattr(args, "gray_chars", False) and args.rgb_chars:
         parser.error("--gray-chars and --rgb-chars are mutually exclusive")
@@ -69,12 +72,13 @@ def main(argv=None):
     from callireader_tpu.cli.common import build_engine
 
     # evaluate.py is the parity harness: char canvases default to full RGB
-    # (bit-identical to the reference's crops, utils/utils.py:420-452);
-    # --gray-chars opts into the luma transfer optimization used by serve/bench
+    # resized on HOST (bit-identical to the reference's crops,
+    # utils/utils.py:420-452); --gray-chars / --device-resize-chars opt into
+    # the transfer optimizations serve/bench use by default
     engine = build_engine(
         preset=args.preset, checkpoint_dir=args.checkpoint, random_init_ok=args.random_init,
         quant=args.quant, adapter_path=args.adapter, gray_chars=args.gray_chars,
-        mesh_spec=args.mesh,
+        device_resize_chars=args.device_resize_chars, mesh_spec=args.mesh,
     )
     if args.batch_size is None:
         import jax

@@ -76,23 +76,39 @@ def _ocr_task(
         # pipelined chunks: build chunk N+1's rows (vision + char h2d) while
         # chunk N's decode runs on device, but launch its generate only after
         # chunk N retires — one live KV cache (engine.batch_build_rows /
-        # batch_prepare(prepared_rows=...) / batch_decode split)
+        # batch_prepare(prepared_rows=...) / batch_decode split). The box
+        # stage d2h-syncs (NMS + OrderFormer ranks), so it runs in the
+        # device-free gap right after each decode retires — never queued
+        # behind an in-flight decode (engine.batch_calli_align docstring).
+        from callireader_tpu.vision import preprocess
+
         responses = []
         prepared = None
-        for i in range(0, len(images), batch_size):
-            chunk_imgs = [
-                crop(im, an)
-                for im, an in zip(images[i : i + batch_size], annotations[i : i + batch_size])
+        gen_kw = {k: v for k, v in kw.items()
+                  if k in ("repetition_penalty", "max_new_tokens", "eos_token_ids")}
+        row_kw = {k: v for k, v in kw.items()
+                  if k in ("use_p", "drop_zero", "hard_vq", "histories")}
+        use_p = row_kw.get("use_p", True)
+        starts = list(range(0, len(images), batch_size))
+
+        def np_chunk(lo):
+            return [
+                np.asarray(preprocess.open_image(crop(im, an)))
+                for im, an in zip(images[lo : lo + batch_size],
+                                  annotations[lo : lo + batch_size])
             ]
-            gen_kw = {k: v for k, v in kw.items()
-                      if k in ("repetition_penalty", "max_new_tokens", "eos_token_ids")}
-            row_kw = {k: v for k, v in kw.items()
-                      if k in ("use_p", "drop_zero", "hard_vq", "histories")}
+
+        cur = np_chunk(starts[0]) if starts else []
+        ordered = engine.batch_sort_boxes(cur) if (starts and use_p) else None
+        for j, lo in enumerate(starts):
             rows = engine.batch_build_rows(
-                chunk_imgs, [prompt] * len(chunk_imgs), **row_kw
+                cur, [prompt] * len(cur), ordered_lists=ordered, **row_kw
             )
             if prepared is not None:
                 responses.extend(t2s(r) for r in engine.batch_decode(prepared))
+            if j + 1 < len(starts):  # device-free gap: next chunk's boxes
+                cur = np_chunk(starts[j + 1])
+                ordered = engine.batch_sort_boxes(cur) if use_p else None
             prepared = engine.batch_prepare([], [], prepared_rows=rows, **gen_kw)
         if prepared is not None:
             responses.extend(t2s(r) for r in engine.batch_decode(prepared))

@@ -97,6 +97,7 @@ class CalliReaderEngine:
         policy: DTypePolicy = DEFAULT_POLICY,
         use_flash: Optional[bool] = None,
         gray_chars: bool = True,
+        device_resize_chars: bool = True,
         mesh=None,
     ):
         self.mesh = mesh
@@ -129,6 +130,13 @@ class CalliReaderEngine:
         # luma round-trip is near-lossless; pass gray_chars=False
         # (--rgb-chars) for bit-parity with the reference's RGB crops.
         self.gray_chars = gray_chars
+        # Default ON: ship RAW char crops (~5 KB luma each) and run the
+        # [200,350] bicubic scale + white 448-canvas on device
+        # (vision/device_resize.py) — ~10x fewer bytes on the dominant
+        # transfer. Crops that would DOWNSCALE (max edge > 350) take the
+        # host-PIL path (PIL antialiases downscales; the device kernel does
+        # not). device_resize_chars=False = bit-parity host path everywhere.
+        self.device_resize_chars = device_resize_chars
         self.use_flash = (
             use_flash if use_flash is not None else jax.devices()[0].platform == "tpu"
         )
@@ -142,6 +150,9 @@ class CalliReaderEngine:
         self._resample_vq = jax.jit(self._resample_vq_impl, static_argnames=("hard_vq",))
         self._char_pipeline = jax.jit(
             self._char_pipeline_impl, static_argnames=("hard_vq",)
+        )
+        self._char_pipeline_raw = jax.jit(
+            self._char_pipeline_raw_impl, static_argnames=("hard_vq",)
         )
         self._build_embeds = jax.jit(self._build_embeds_impl)
         self.timings = Timings()
@@ -193,6 +204,20 @@ class CalliReaderEngine:
         per-dispatch RPC (VERDICT r2 weak #4); fusing also lets XLA overlap
         the h2d of the next group with this group's compute."""
         feats = self._vision_encode_chars_impl(params, content_uint8)
+        return self._resample_vq_impl(params, feats, hard_vq=hard_vq)
+
+    def _char_pipeline_raw_impl(self, params, raw, src_hw, tgt_hw, hard_vq=False):
+        """RAW crop bytes -> on-device bicubic [200,350] scale + white
+        448 canvas (vision/device_resize.py) -> ViT -> resampler -> VQ, one
+        dispatch. ~10x fewer h2d bytes than shipping content canvases."""
+        from callireader_tpu.vision import device_resize
+
+        canvas = device_resize.bicubic_canvas(
+            raw, src_hw, tgt_hw, self.cfg.force_image_size
+        )
+        if canvas.ndim == 3:  # luma -> RGB on device
+            canvas = jnp.broadcast_to(canvas[..., None], (*canvas.shape, 3))
+        feats = self._vision_encode_impl(params, canvas)
         return self._resample_vq_impl(params, feats, hard_vq=hard_vq)
 
     def _build_embeds_impl(self, params, input_ids, img_embeds, pseudo_embeds):
@@ -298,17 +323,87 @@ class CalliReaderEngine:
             ).astype(np.uint8)
         return stack
 
+    def _luma1(self, c: np.ndarray) -> np.ndarray:
+        if not self.gray_chars or c.ndim == 2:
+            return c
+        c16 = c.astype(np.uint16)
+        return ((c16[..., 0] * 299 + c16[..., 1] * 587 + c16[..., 2] * 114)
+                // 1000).astype(np.uint8)
+
+    def _prep_char_raw_groups(self, raw_crops: List[np.ndarray]):
+        """Device-resize prep: group crops by RAW square bucket and stack the
+        untouched bytes + (src, tgt) dims for the on-device bicubic. Crops
+        that would DOWNSCALE past the [200,350] cap (or exceed the largest
+        raw bucket) are returned separately for the host-PIL path.
+        Returns ([(idxs, raw, src_hw, tgt_hw)], host_indices)."""
+        from callireader_tpu.vision.device_resize import CHAR_RAW_BUCKETS
+
+        size = self.cfg.force_image_size
+        hi = preprocess.char_content_canvas(size)
+        by_bucket: Dict[int, List[int]] = {}
+        host_idx: List[int] = []
+        for i, c in enumerate(raw_crops):
+            m = max(c.shape[0], c.shape[1])
+            if m > hi or m > CHAR_RAW_BUCKETS[-1]:
+                host_idx.append(i)
+                continue
+            bucket = next(b for b in CHAR_RAW_BUCKETS if b >= m)
+            by_bucket.setdefault(bucket, []).append(i)
+        groups = []
+        for bucket, idxs in by_bucket.items():
+            n = len(idxs)
+            shape = (n, bucket, bucket) if self.gray_chars else (n, bucket, bucket, 3)
+            raw = np.full(shape, 255, np.uint8)
+            src = np.ones((n, 2), np.int32)
+            tgt = np.ones((n, 2), np.int32)
+            for j, i in enumerate(idxs):
+                c = self._luma1(raw_crops[i])
+                h, w = c.shape[:2]
+                raw[j, :h, :w] = c
+                nw, nh = preprocess.char_content_dims(w, h, size)
+                src[j] = (h, w)
+                tgt[j] = (nh, nw)
+            groups.append((np.asarray(idxs, np.int64), raw, src, tgt))
+        return groups, host_idx
+
     def _char_parts(
         self, raw_crops: List[np.ndarray], *, hard_vq: bool = False
     ) -> Tuple[List[jax.Array], List[jax.Array], List[int], List[np.ndarray]]:
-        """One fused char_pipeline dispatch per canvas-bucket group over
+        """One fused char_pipeline dispatch per bucket group over
         ``raw_crops``; returns (parts_ps, parts_ix, real_counts,
         original-index arrays) for a later single reorder program."""
+        host_crops = raw_crops
+        host_map = None
+        parts_ps, parts_ix, ns, idx_order = [], [], [], []
+        if self.device_resize_chars:
+            t0 = time.time()
+            raw_groups, host_idx = self._prep_char_raw_groups(raw_crops)
+            self.timings.add("char_crops", time.time() - t0)
+            t0 = time.time()
+            for idxs, raw, src, tgt in raw_groups:
+                raw_p, n = preprocess.pad_to_bucket(raw, CHAR_BUCKETS)
+                pad = raw_p.shape[0] - n
+                if pad:
+                    src = np.concatenate([src, np.ones((pad, 2), np.int32)])
+                    tgt = np.concatenate([tgt, np.ones((pad, 2), np.int32)])
+                ps, ix = self._char_pipeline_raw(
+                    self.params, jnp.asarray(raw_p), jnp.asarray(src),
+                    jnp.asarray(tgt), hard_vq=hard_vq,
+                )
+                parts_ps.append(ps)
+                parts_ix.append(ix)
+                ns.append(n)
+                idx_order.append(idxs)
+            self.timings.add("vit_resampler_vq", time.time() - t0)
+            if not host_idx:
+                return parts_ps, parts_ix, ns, idx_order
+            host_crops = [raw_crops[i] for i in host_idx]
+            host_map = np.asarray(host_idx, np.int64)
+
         t0 = time.time()
-        groups = self._prep_char_crop_groups(raw_crops)
+        groups = self._prep_char_crop_groups(host_crops)
         self.timings.add("char_crops", time.time() - t0)
         t0 = time.time()
-        parts_ps, parts_ix, ns, idx_order = [], [], [], []
         for idxs, stack in groups:
             padded, n = preprocess.pad_to_bucket(self._to_luma(stack), CHAR_BUCKETS)
             ps, ix = self._char_pipeline(
@@ -317,7 +412,7 @@ class CalliReaderEngine:
             parts_ps.append(ps)
             parts_ix.append(ix)
             ns.append(n)
-            idx_order.append(idxs)
+            idx_order.append(idxs if host_map is None else host_map[idxs])
         self.timings.add("vit_resampler_vq", time.time() - t0)
         return parts_ps, parts_ix, ns, idx_order
 
@@ -468,15 +563,22 @@ class CalliReaderEngine:
         *,
         drop_zero: bool = False,
         hard_vq: bool = False,
+        ordered_lists: Optional[List[Optional[List[List[float]]]]] = None,
     ) -> List[Tuple[Optional[Any], Optional[Any]]]:
         """calli_align over N pages with batched device programs: one
         detector + one OrderFormer forward, canvas-bucket-grouped char
         encodes over the UNION of all pages' crops, chunked resampler+VQ.
         Per-page outputs identical to calli_align (tests/test_engine_extras).
-        """
-        t0 = time.time()
-        ordered_lists = self.batch_sort_boxes(images)
-        self.timings.add("yolo_orderformer", time.time() - t0)
+
+        ``ordered_lists``: precomputed batch_sort_boxes result. The box stage
+        d2h-syncs (NMS + OrderFormer ranks are host-side), so when a decode
+        is in flight on the same chip that sync blocks behind it; pipelined
+        callers run batch_sort_boxes in the device-free gap after the
+        previous decode retires and pass the result here."""
+        if ordered_lists is None:
+            t0 = time.time()
+            ordered_lists = self.batch_sort_boxes(images)
+            self.timings.add("yolo_orderformer", time.time() - t0)
 
         t0 = time.time()
         all_crops: List[np.ndarray] = []
@@ -779,12 +881,15 @@ class CalliReaderEngine:
         use_p: bool = True,
         drop_zero: bool = False,
         hard_vq: bool = False,
+        ordered_lists: Optional[List[Optional[List[List[float]]]]] = None,
     ) -> Dict[str, Any]:
         """Vision + CalliAlign + splice for a batch, all dispatched async (no
         host sync, no generate yet). Lets a caller overlap batch N+1's vision
         work with batch N's in-flight decode while keeping only ONE generate
         (and its KV cache) alive — dispatching two generates back-to-back
-        doubles the live cache and crowds HBM (measured slower)."""
+        doubles the live cache and crowds HBM (measured slower).
+        ``ordered_lists``: see batch_calli_align — pipelined callers detect
+        boxes in the device-free gap and pass the result through."""
         assert len(images) == len(questions)
         if histories is None:
             histories = [None] * len(images)
@@ -803,7 +908,8 @@ class CalliReaderEngine:
         ]
         if use_p:
             aligned = self.batch_calli_align(
-                imgs_np, drop_zero=drop_zero, hard_vq=hard_vq
+                imgs_np, drop_zero=drop_zero, hard_vq=hard_vq,
+                ordered_lists=ordered_lists,
             )
         else:
             aligned = [(None, None)] * len(images)

@@ -220,12 +220,18 @@ def test_batch_calli_align_mixed_page_sizes(engine):
 
 def test_fused_char_pipeline_matches_separate_programs(engine):
     """The fused _char_pipeline + _reorder_char_parts path must equal the
-    separate encode_char_contents -> _resample_vq computation."""
+    separate encode_char_contents -> _resample_vq computation (host-resize
+    mode: the reference-parity path)."""
     rng = np.random.RandomState(3)
     # crops spanning multiple canvas buckets (tiny config: force_image_size 56)
     crops = [rng.randint(0, 255, (h, w, 3), np.uint8)
              for h, w in [(20, 15), (60, 45), (10, 40), (33, 33), (5, 5)]]
-    fp, fi = engine._encode_chars_fused(crops)
+    saved = engine.device_resize_chars
+    engine.device_resize_chars = False
+    try:
+        fp, fi = engine._encode_chars_fused(crops)
+    finally:
+        engine.device_resize_chars = saved
     # reference: old multi-program path (reading order via feature reorder)
     groups = engine._prep_char_crop_groups(crops)
     parts = [engine.encode_char_contents(stack) for _, stack in groups]
@@ -291,3 +297,41 @@ def test_batched_embed_build_matches_per_row(engine):
     hists = [[("之前的问题", "之前的回答")], None, None]
     out = engine.batch_chat_ocr(imgs, qs, histories=hists, max_new_tokens=3)
     assert len(out) == 3 and all(isinstance(o, str) for o in out)
+
+
+def test_device_resize_chars_close_to_host_path(engine):
+    """The device bicubic char path (raw-crop h2d + on-device [200,350]
+    scale/canvas) must track the host-PIL path closely on upscaled crops and
+    EXACTLY route downscale crops (max edge past the content cap) through
+    the host path."""
+    import jax.numpy as jnp
+
+    from callireader_tpu.vision import preprocess as pp
+
+    rng = np.random.RandomState(9)
+    size = engine.cfg.force_image_size
+    hi = pp.char_content_canvas(size)
+    # upscale crops (max edge < hi) + one downscale crop (> hi)
+    crops = [rng.randint(0, 255, (hi - 6, hi // 2, 3), np.uint8),
+             rng.randint(0, 255, (hi // 3, hi - 8, 3), np.uint8),
+             rng.randint(0, 255, (hi * 3, hi * 2, 3), np.uint8)]
+    saved = engine.device_resize_chars
+    try:
+        engine.device_resize_chars = True
+        groups, host_idx = engine._prep_char_raw_groups(crops)
+        assert host_idx == [2]  # downscale crop -> host-PIL path
+        assert sum(len(g[0]) for g in groups) == 2
+        dp, di = engine._encode_chars_fused(crops)
+        engine.device_resize_chars = False
+        hp, hi_ = engine._encode_chars_fused(crops)
+    finally:
+        engine.device_resize_chars = saved
+    dp, hp = np.asarray(dp, np.float64), np.asarray(hp, np.float64)
+    assert dp.shape == hp.shape
+    # pseudo embeds nearly identical; the downscale crop's rows exact
+    n_learns = engine.cfg.resampler.num_learns
+    np.testing.assert_allclose(dp[2 * n_learns:], hp[2 * n_learns:], rtol=1e-5, atol=1e-5)
+    cos = (dp * hp).sum(-1) / np.maximum(
+        np.linalg.norm(dp, axis=-1) * np.linalg.norm(hp, axis=-1), 1e-9
+    )
+    assert cos.min() > 0.999, cos.min()

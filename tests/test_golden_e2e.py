@@ -58,8 +58,10 @@ def _run():
     cfg = callireader_tiny()
     params = init_all_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
     tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
+    # golden pins the reference-parity path: host RGB crops, host PIL resize
     eng = CalliReaderEngine(
-        cfg, params, tok, policy=FP32_POLICY, use_flash=False, gray_chars=False
+        cfg, params, tok, policy=FP32_POLICY, use_flash=False,
+        gray_chars=False, device_resize_chars=False,
     )
     img = np.asarray(Image.open(FIXTURE_IMG).convert("RGB"))
     H, W = img.shape[:2]
