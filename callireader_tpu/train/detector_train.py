@@ -182,16 +182,24 @@ def synth_pages(
     return imgs, gt, mask
 
 
-def make_glyph(rng: np.random.RandomState, s: int) -> np.ndarray:
-    """Brush-stroke glyph: quadratic bezier strokes with varying thickness,
-    rasterized into an (s, s) ink mask in [0, 1]. Structurally closer to the
-    running-script fixture (examples/0.jpg) than rectangle strokes."""
-    mask = np.zeros((s, s), np.float32)
+def _paint_strokes(
+    mask: np.ndarray,
+    rng: np.random.RandomState,
+    n_strokes: int,
+    x_lo: float,
+    x_hi: float,
+    y_lo: float,
+    y_hi: float,
+) -> None:
+    """Paint bezier brush strokes confined to a sub-window of ``mask``."""
+    s = mask.shape[0]
     yy, xx = np.mgrid[0:s, 0:s]
-    for _ in range(rng.randint(3, 8)):
-        p0 = rng.uniform(0.05, 0.95, 2) * s
-        p1 = rng.uniform(-0.2, 1.2, 2) * s
-        p2 = rng.uniform(0.05, 0.95, 2) * s
+    span = np.array([x_hi - x_lo, y_hi - y_lo])
+    org = np.array([x_lo, y_lo])
+    for _ in range(n_strokes):
+        p0 = (org + rng.uniform(0.05, 0.95, 2) * span) * s
+        p1 = (org + rng.uniform(-0.2, 1.2, 2) * span) * s
+        p2 = (org + rng.uniform(0.05, 0.95, 2) * span) * s
         r = rng.uniform(0.03, 0.09) * s + 0.6
         t = np.linspace(0, 1, max(8, int(2.5 * s)))[:, None]
         pts = ((1 - t) ** 2) * p0 + 2 * t * (1 - t) * p1 + (t**2) * p2
@@ -204,6 +212,32 @@ def make_glyph(rng: np.random.RandomState, s: int) -> np.ndarray:
             mask[y0:y1, x0:x1] = np.maximum(
                 mask[y0:y1, x0:x1], (d2 <= r * r).astype(np.float32)
             )
+
+
+def make_glyph(rng: np.random.RandomState, s: int) -> np.ndarray:
+    """Brush-stroke glyph: quadratic bezier strokes with varying thickness,
+    rasterized into an (s, s) ink mask in [0, 1]. Half the glyphs are
+    COMPOSITIONAL — two stroke clusters separated by an internal whitespace
+    gap (left/right or top/bottom radicals), like real hanzi. Without the
+    gap structure the detector learns "one connected ink blob = one char"
+    and fragments real multi-radical characters into duplicate sub-boxes
+    (measured on examples/0.jpg: 24/114 preds were within-char fragments,
+    precision capped at 0.79 across every conf threshold)."""
+    mask = np.zeros((s, s), np.float32)
+    n = rng.randint(3, 8)
+    split = rng.rand()
+    if split < 0.25:  # left/right radicals with a vertical whitespace gap
+        cut = rng.uniform(0.35, 0.65)
+        gap = rng.uniform(0.04, 0.14)
+        _paint_strokes(mask, rng, max(2, n // 2), 0.0, cut - gap / 2, 0.0, 1.0)
+        _paint_strokes(mask, rng, max(2, n - n // 2), cut + gap / 2, 1.0, 0.0, 1.0)
+    elif split < 0.5:  # top/bottom stack with a horizontal gap
+        cut = rng.uniform(0.35, 0.65)
+        gap = rng.uniform(0.04, 0.14)
+        _paint_strokes(mask, rng, max(2, n // 2), 0.0, 1.0, 0.0, cut - gap / 2)
+        _paint_strokes(mask, rng, max(2, n - n // 2), 0.0, 1.0, cut + gap / 2, 1.0)
+    else:
+        _paint_strokes(mask, rng, n, 0.0, 1.0, 0.0, 1.0)
     return mask
 
 
@@ -250,21 +284,27 @@ def synth_calligraphy_pages(
             y = rng.uniform(0.02, 0.12) * size
             while y < size * rng.uniform(0.75, 0.98) and placed < max_boxes:
                 s = int(np.clip(s0 * rng.uniform(0.6, 1.35), 6, 60))
-                x0 = int(np.clip(x_c + rng.uniform(-0.15, 0.15) * col_w, 0, cw - s))
+                # rectangular chars: the fixture's labelme boxes span aspects
+                # ~0.5-1.4 (median 76x74 but e.g. 48x25, 63x96); square-only
+                # training biases the regressor toward square extents
+                sh = int(np.clip(s * rng.uniform(0.65, 1.3), 6, 60))
+                sw = s
+                x0 = int(np.clip(x_c + rng.uniform(-0.15, 0.15) * col_w, 0, cw - sw))
                 y0 = int(y)
-                if y0 + s >= size:
+                if y0 + sh >= size:
                     break
                 g = glyph_bank[rng.randint(len(glyph_bank))]
-                if s != gs:
-                    idx = (np.arange(s) * gs // s).clip(0, gs - 1)
-                    g = g[idx][:, idx]
+                if (sh, sw) != (gs, gs):
+                    iy = (np.arange(sh) * gs // sh).clip(0, gs - 1)
+                    ix = (np.arange(sw) * gs // sw).clip(0, gs - 1)
+                    g = g[iy][:, ix]
                 ink = rng.randint(5, 80)
-                region = page[y0 : y0 + s, x0 : x0 + s]
+                region = page[y0 : y0 + sh, x0 : x0 + sw]
                 region[:] = (region * (1 - g[..., None]) + ink * g[..., None]).astype(np.int16)
-                gt[b, placed] = [x_off + x0, y0, x_off + x0 + s, y0 + s]
+                gt[b, placed] = [x_off + x0, y0, x_off + x0 + sw, y0 + sh]
                 mask[b, placed] = True
                 placed += 1
-                y += s * rng.uniform(1.02, 1.35)
+                y += sh * rng.uniform(1.02, 1.35)
         # red seal distractors (stamps are not characters)
         for _ in range(rng.randint(0, 3)):
             ss = int(s0 * rng.uniform(0.6, 1.2))

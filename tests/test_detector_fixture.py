@@ -7,9 +7,11 @@ trained by scripts/train_detector.py on fixture-statistics synthetic pages)
 must find the labelme GT characters of /root/reference/examples/0.jpg —
 the page the reference's own deployment detects (inference.py:98).
 
-Measured at training time (TPU): recall@IoU0.5 0.979, precision 0.740
-(192 predictions vs 96 GT). The assertion bounds are looser to absorb
-platform numerics (CPU eval here: 0.990 / 0.746).
+Measured at training time (TPU, 6000 steps, compositional two-radical
+glyphs + rectangular chars): recall@IoU0.5 0.969, precision 0.844 (160 raw
+predictions vs 96 GT at conf 0.4; 107 post-dedup boxes at the engine's
+conf 0.5 / NMS 0.3 operating point, F1 0.906). The assertion bounds are
+looser to absorb platform numerics.
 """
 
 import os
@@ -40,7 +42,7 @@ def test_trained_detector_recall_on_fixture():
     cfg = DetectorConfig(img_size=640, conf_threshold=0.4)
     recall, precision, n_pred = dt.fixture_recall(params, cfg)
     assert recall >= 0.9, f"fixture recall {recall:.3f}"
-    assert precision >= 0.6, f"fixture precision {precision:.3f}"
+    assert precision >= 0.75, f"fixture precision {precision:.3f}"
     assert 96 <= n_pred <= 300
 
 
