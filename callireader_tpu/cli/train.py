@@ -53,6 +53,12 @@ def main(argv=None):
     parser.add_argument("--lr", type=float, default=5e-5)
     parser.add_argument("--lora-rank", type=int, default=128)
     parser.add_argument("--lora-alpha", type=float, default=256.0)
+    parser.add_argument("--qlora", action="store_true",
+                        help="quantize the frozen LLM base to int8 (weight-"
+                             "only) under the bf16 LoRA adapters — the TPU "
+                             "analog of the reference's bitsandbytes NF4 "
+                             "QLoRA (train/xtuner/model/internvl.py:50-71); "
+                             "fits the 32-layer 8B e-IT run on ONE 16GB v5e")
     parser.add_argument("--log-interval", type=int, default=10)
     parser.add_argument("--ckpt-interval", type=int, default=1500)
     parser.add_argument("--eval-chat-interval", type=int, default=0,
@@ -75,6 +81,7 @@ def main(argv=None):
             "accumulative_counts": "grad_accum", "lr": "lr",
             "lora_rank": "lora_rank", "lora_alpha": "lora_alpha",
             "max_epochs": "epochs", "save_steps": "ckpt_interval",
+            "quant_base": "qlora",
         }
         parser.set_defaults(**{
             key_map[k]: v for k, v in recipe.items() if k in key_map
@@ -139,7 +146,30 @@ def main(argv=None):
     params["llm"] = lora.add_lora(
         params["llm"], cfg.llm, jax.random.PRNGKey(args.seed),
         rank=train_cfg.lora_rank, alpha=train_cfg.lora_alpha,
+        # QLoRA trains bf16 adapters over the int8 base (bitsandbytes
+        # practice, internvl.py:50-71); full-precision runs keep fp32 masters
+        dtype=jnp.bfloat16 if args.qlora else jnp.float32,
     )
+    if args.qlora:
+        from callireader_tpu.runtime import quantize as quant_mod
+
+        before = quant_mod.param_bytes(params["llm"])
+        # after add_lora: the adapters stay bf16 (they carry the grads), the
+        # base projections+embeddings drop to int8. _proj dispatches on the
+        # *_q leaves, so the same train step / loss path runs unchanged and
+        # grads flow through the dequantizing matmul into h and the adapters.
+        params["llm"] = quant_mod.quantize_llm_int8(params["llm"])
+        # e-IT's step consumes only ViT+projector+LLM (pseudo embeds come
+        # precomputed in the dataset); the inference-only components — the
+        # align VQ table is 1.5 GB fp32 at 8B vocab — are dropped so the
+        # whole train state fits one 16 GB chip (tests/test_8b_memory.py)
+        for name in ("align", "detector", "orderformer"):
+            params.pop(name, None)
+        engine.detector = None
+        print(f"[train] qlora: int8 base "
+              f"{before / 1e9:.2f} -> {quant_mod.param_bytes(params['llm']) / 1e9:.2f} GB; "
+              f"inference-only components dropped from the train state",
+              file=sys.stderr)
     axes = spmd.engine_logical_axes(cfg, params)
     params = spmd.shard_tree(params, axes, mesh)
     # rebind so the engine's pre-shard copy is freed — otherwise two full

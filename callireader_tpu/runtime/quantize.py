@@ -71,6 +71,34 @@ def quantize_llm_int8(
     return out
 
 
+def dequantize_llm_int8(
+    llm_params: Dict[str, Any],
+    *,
+    targets: Sequence[str] = QUANT_TARGETS,
+    dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """Inverse of quantize_llm_int8: fold ``{name}_q``/``{name}_scale`` leaves
+    back to dense weights (lossy — returns the int8 rounding of the original).
+    Used by the deployable export after QLoRA training, where adapters must
+    merge into a dense base (train/lora.merge_lora)."""
+    out = dict(llm_params)
+    layers = dict(out["layers"])
+    for name in targets:
+        q = layers.pop(f"{name}_q", None)
+        if q is None:
+            continue
+        scale = layers.pop(f"{name}_scale")
+        layers[name] = (q.astype(jnp.float32) * scale).astype(dtype)
+    out["layers"] = layers
+    for name in ("tok_embeddings", "output"):
+        q = out.pop(f"{name}_q", None)
+        if q is None:
+            continue
+        scale = out.pop(f"{name}_scale")
+        out[name] = (q.astype(jnp.float32) * scale).astype(dtype)
+    return out
+
+
 def quantized_logical_axes(axes: Dict[str, Any], params: Dict[str, Any]) -> Dict[str, Any]:
     """Extend an LLM logical-axis tree for quantized leaves."""
     layers = dict(axes["layers"])

@@ -195,6 +195,12 @@ def export_reference_format(
     from callireader_tpu.train.lora import merge_lora
 
     llm = params["llm"]
+    if any(k.endswith("_q") for k in llm["layers"]):
+        # QLoRA-trained base: fold int8 back to dense bf16 so the adapters
+        # can merge and the export carries reference-layout dense tensors
+        from callireader_tpu.runtime.quantize import dequantize_llm_int8
+
+        llm = dequantize_llm_int8(llm)
     if merge_lora_first and any("_lora_" in k for k in llm["layers"]):
         llm = merge_lora(llm)
 

@@ -147,3 +147,47 @@ def test_8b_bf16_single_chip_does_not_fit():
     mesh = spmd.make_mesh({"tensor": 1}, devices=jax.devices()[:1])
     axes = spmd.engine_logical_axes(cfg, abstract)
     assert _per_device_bytes(abstract, axes, mesh) > 16 * GB
+
+
+def test_8b_qlora_single_chip_train_state_fits_v5e():
+    """QLoRA (--qlora): int8 frozen base + bf16 LoRA r128 adapters + Adam
+    moments for the adapters only. The whole 32-layer 8B e-IT train state
+    fits ONE 16 GB v5e — the reference needs 2x 24GB+ CUDA GPUs with NF4
+    bitsandbytes for the same recipe (train/README.md:5, internvl.py:50-71)."""
+    from callireader_tpu.train import e_it, lora
+
+    cfg = callireader_8b()
+
+    def build(key):
+        from callireader_tpu.runtime.quantize import quantize_llm_int8
+
+        p = init_all_params(key, cfg, dtype=jnp.bfloat16)
+        p = dict(p)
+        # exactly what cli/train.py --qlora holds live: bf16 adapters over
+        # the int8 base; inference-only components (align's 1.5 GB fp32 VQ
+        # table, detector, orderformer) are dropped from the train state
+        p["llm"] = lora.add_lora(
+            p["llm"], cfg.llm, key, rank=128, alpha=256.0, dtype=jnp.bfloat16
+        )
+        p["llm"] = quantize_llm_int8(p["llm"])
+        for name in ("align", "detector", "orderformer"):
+            p.pop(name, None)
+        return p
+
+    abstract = jax.eval_shape(build, jax.random.PRNGKey(0))
+    tc = e_it.TrainConfig(lora_rank=128, lora_alpha=256.0)
+    trainable, frozen = e_it.partition_params(abstract, tc)
+    t_bytes = sum(
+        x.size * x.dtype.itemsize for x in jax.tree.leaves(trainable)
+    )
+    f_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(frozen))
+    # no int8 leaf may be trainable; every quantized leaf is frozen
+    assert all(x.dtype != jnp.int8 for x in jax.tree.leaves(trainable))
+    # Adam moments follow param dtype (optax scale_by_adam), grad accum too;
+    # 3 extra copies of the trainable tree bounds MultiSteps + clip buffers
+    opt_bytes = 3 * t_bytes
+    total = t_bytes + f_bytes + opt_bytes
+    # measured shape: ~8.4 GB frozen (7.74 int8 LLM + bf16 ViT) + ~0.8 GB
+    # bf16 LoRA r128 + mlp1 + ~2.3 GB moments/accum
+    assert f_bytes < 9.5 * GB, f"frozen {f_bytes/GB:.2f} GB"
+    assert total < 13 * GB, f"train state {total/GB:.2f} GB exceeds budget"

@@ -189,3 +189,83 @@ def test_grad_accum_applies_update_every_k():
     state, _ = step(state, frozen, batch)
     assert int(state.opt_state.gradient_step) == 2
     assert not np.array_equal(a_lora_leaf(state.trainable), before), "params never moved"
+
+
+# ---------------------------------------------------------------------------
+# QLoRA: int8 frozen base under bf16 adapters (the TPU analog of the
+# reference's bitsandbytes NF4 QLoRA, train/xtuner/model/internvl.py:50-71)
+# ---------------------------------------------------------------------------
+
+
+def test_qlora_train_step_reduces_loss_and_freezes_base():
+    from callireader_tpu.runtime import quantize as quant_mod
+
+    params = init_all_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    params["llm"] = lora.add_lora(params["llm"], CFG.llm, jax.random.PRNGKey(1), rank=4, alpha=8)
+    params["llm"] = quant_mod.quantize_llm_int8(params["llm"])
+    assert "wq_q" in params["llm"]["layers"] and "wq" not in params["llm"]["layers"]
+
+    tc = e_it.TrainConfig(learning_rate=5e-3, total_steps=20, warmup_ratio=0.0, remat=False)
+    state, frozen, tx = e_it.create_train_state(params, tc)
+    # int8 leaves land in the frozen tree, never the trainable one
+    assert all(
+        x.dtype != jnp.int8 for x in jax.tree.leaves(state.trainable)
+    )
+    q_before = np.asarray(frozen["llm"]["layers"]["wq_q"]).copy()
+    step = jax.jit(e_it.make_train_step(CFG, tc, tx, policy=FP32_POLICY, use_flash=False))
+
+    B, S = 2, 64
+    rng = np.random.RandomState(0)
+    ids = rng.randint(10, 1000, (B, S)).astype(np.int32)
+    ids[:, 2 : 2 + CFG.num_image_token] = CFG.img_context_token_id
+    labels = np.where(np.arange(S)[None] >= S // 2, ids, e_it.IGNORE_INDEX).astype(np.int32)
+    batch = {
+        "input_ids": jnp.asarray(ids),
+        "labels": jnp.asarray(labels),
+        "segment_ids": jnp.zeros((B, S), jnp.int32),
+        "positions": jnp.tile(jnp.arange(S)[None], (B, 1)),
+        "pixel_values": jnp.asarray(
+            rng.rand(B, CFG.force_image_size, CFG.force_image_size, 3), jnp.float32
+        ),
+    }
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, frozen, batch)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] - 0.05, losses
+    np.testing.assert_array_equal(
+        np.asarray(frozen["llm"]["layers"]["wq_q"]), q_before
+    )
+
+
+def test_qlora_export_dequantizes_and_merges(tmp_path):
+    from callireader_tpu.runtime import quantize as quant_mod
+    from callireader_tpu.train import checkpoint as ckpt_mod
+
+    params = init_all_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    params["llm"] = lora.add_lora(params["llm"], CFG.llm, jax.random.PRNGKey(1), rank=2, alpha=4)
+    params["llm"] = quant_mod.quantize_llm_int8(params["llm"])
+    out = ckpt_mod.export_reference_format(params, CFG, str(tmp_path / "exp"))
+    import safetensors.numpy as st
+
+    sd = {}
+    import os as _os
+
+    for f in _os.listdir(out if _os.path.isdir(out) else str(tmp_path / "exp")):
+        if f.endswith(".safetensors"):
+            sd.update(st.load_file(str(tmp_path / "exp" / f)))
+    assert not any("_q" in k or "_lora_" in k for k in sd)
+    assert any("attention.wqkv" in k or "wqkv" in k or "tok_embeddings" in k for k in sd)
+
+
+def test_dequantize_roundtrip_close():
+    from callireader_tpu.runtime import quantize as quant_mod
+
+    params = internlm2.init_params(jax.random.PRNGKey(0), CFG.llm, jnp.float32)
+    w = np.asarray(params["layers"]["wq"], np.float32)
+    qp = quant_mod.quantize_llm_int8(params)
+    deq = quant_mod.dequantize_llm_int8(qp, dtype=jnp.float32)
+    w2 = np.asarray(deq["layers"]["wq"], np.float32)
+    err = np.abs(w - w2).max() / (np.abs(w).max() + 1e-9)
+    assert err < 0.01, err  # int8 rounding: <=1% of absmax per channel
+    assert "tok_embeddings" in deq and "tok_embeddings_q" not in deq
