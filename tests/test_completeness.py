@@ -311,3 +311,58 @@ def test_prepare_long_context():
     assert big.max_position_embeddings == cfg.max_position_embeddings * 3
     # no-op inside the native window
     assert prepare_long_context(cfg, 4).rope_scaling_type == cfg.rope_scaling_type
+
+
+def test_config_zoo_matrix():
+    """The generated zoo (configs/zoo.py) mirrors xtuner's ~590-config
+    expansion: every name resolves to a valid recipe, every recipe is
+    consumable (preset exists, map_fn exists, template exists), and
+    copy-cfg materializes zoo members as editable files."""
+    from callireader_tpu import configs
+    from callireader_tpu.configs import zoo
+    from callireader_tpu.core.config import PRESETS
+    from callireader_tpu.train.sft_data import MAP_FNS
+    from callireader_tpu.train.templates import PROMPT_TEMPLATES
+
+    names = zoo.list_zoo()
+    # 3 models x 3 methods x (6 task specials + 21 datasets x 3 scheds x 3
+    # variants) = 3*3*(6 + 189) = 1755 named members
+    assert len(names) == len(set(names))
+    assert len(names) >= 500, len(names)
+    for name in names:
+        cfg = zoo.generate(name)
+        assert cfg["preset"] in PRESETS
+        if "dataset_map_fn" in cfg:
+            assert cfg["dataset_map_fn"] in MAP_FNS
+        if "prompt_template" in cfg:
+            assert cfg["prompt_template"] in PROMPT_TEMPLATES
+        if "qlora" in name:
+            assert cfg.get("quant_base") is True or cfg.get("task") in (
+                "dpo", "orpo", "reward", "llava_pretrain", "llava_finetune",
+                "e_it",
+            )
+
+    # registry resolution: file recipes win, zoo members resolve, junk raises
+    assert "e_it" in configs.list_configs()
+    assert "internlm2_7b_qlora_alpaca_e3" in configs.list_configs()
+    got = configs.get_config("internlm2_7b_qlora_alpaca_e3")
+    assert got["dataset_map_fn"] == "alpaca" and got["quant_base"] is True
+    assert got["max_epochs"] == 3
+    sp = configs.get_config("internlm2_2b_lora_oasst1_e1_sp4_32k")
+    assert sp["sequence_parallel_size"] == 4 and sp["max_length"] == 32768
+    try:
+        configs.get_config("qwen_7b_qlora_alpaca_e3")
+        assert False, "should raise"
+    except ValueError:
+        pass
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = configs.copy_config("internlm2_7b_qlora_alpaca_e3", d)
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location("_copy", path)
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        assert mod.config()["dataset_map_fn"] == "alpaca"
