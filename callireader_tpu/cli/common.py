@@ -25,6 +25,7 @@ def build_engine(
     lora_alpha: float = 256.0,
     gray_chars: bool = True,
     device_resize_chars: bool = True,
+    device_tile_pages: bool = True,
     mesh_spec: Optional[str] = None,
 ) -> CalliReaderEngine:
     """``mesh_spec``: e.g. "tensor=4,fsdp=2" — SPMD inference over all local
@@ -114,5 +115,6 @@ def build_engine(
 
     return CalliReaderEngine(
         cfg, params, tok, gray_chars=gray_chars,
-        device_resize_chars=device_resize_chars, mesh=mesh,
+        device_resize_chars=device_resize_chars,
+        device_tile_pages=device_tile_pages, mesh=mesh,
     )

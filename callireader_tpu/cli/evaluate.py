@@ -62,6 +62,10 @@ def main(argv=None):
     parser.add_argument("--device-resize-chars", action="store_true",
                         help="ship RAW char crops and bicubic-resize on device "
                         "(~10x fewer host-link bytes; near- but not bit-identical)")
+    parser.add_argument("--device-tile-pages", action="store_true",
+                        help="ship the raw page and dynamic-tile on device "
+                        "(fewer h2d bytes + host resize off the critical "
+                        "path; near- but not bit-identical to PIL tiling)")
     args = parser.parse_args(argv)
     if getattr(args, "gray_chars", False) and args.rgb_chars:
         parser.error("--gray-chars and --rgb-chars are mutually exclusive")
@@ -78,7 +82,8 @@ def main(argv=None):
     engine = build_engine(
         preset=args.preset, checkpoint_dir=args.checkpoint, random_init_ok=args.random_init,
         quant=args.quant, adapter_path=args.adapter, gray_chars=args.gray_chars,
-        device_resize_chars=args.device_resize_chars, mesh_spec=args.mesh,
+        device_resize_chars=args.device_resize_chars,
+        device_tile_pages=args.device_tile_pages, mesh_spec=args.mesh,
     )
     if args.batch_size is None:
         import jax

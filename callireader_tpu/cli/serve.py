@@ -41,6 +41,12 @@ def main(argv=None):
     parser.add_argument("--random-init", action="store_true")
     parser.add_argument("--quant", type=str, default=None, choices=[None, "int8"])
     parser.add_argument("--repetition-penalty", type=float, default=1.0)
+    parser.add_argument("--device-tile-pages", action="store_true",
+                        help="dynamic-tile pages on device (raw-page upload, "
+                        "~2x fewer h2d bytes, host PIL off the serve loop); "
+                        "wins when the HOST is the bottleneck — in the "
+                        "device-bound pipeline the default host path "
+                        "overlaps the in-flight decode for free")
     parser.add_argument("--rgb-chars", action="store_true",
                         help="full-RGB char canvases (bit-parity with the reference; 3x the transfer bytes of the luma default)")
     parser.add_argument("--gray-chars", action="store_true",
@@ -70,7 +76,8 @@ def main(argv=None):
     engine = build_engine(
         preset=args.preset, checkpoint_dir=args.checkpoint,
         random_init_ok=args.random_init, quant=args.quant,
-        gray_chars=not args.rgb_chars, mesh_spec=args.mesh,
+        gray_chars=not args.rgb_chars,
+        device_tile_pages=args.device_tile_pages, mesh_spec=args.mesh,
     )
     cfg = engine.cfg
     sep = get_conv_template(cfg.template).sep

@@ -98,6 +98,7 @@ class CalliReaderEngine:
         use_flash: Optional[bool] = None,
         gray_chars: bool = True,
         device_resize_chars: bool = True,
+        device_tile_pages: bool = False,
         mesh=None,
     ):
         self.mesh = mesh
@@ -137,6 +138,17 @@ class CalliReaderEngine:
         # host-PIL path (PIL antialiases downscales; the device kernel does
         # not). device_resize_chars=False = bit-parity host path everywhere.
         self.device_resize_chars = device_resize_chars
+        # Opt-in: ship the raw page (~4.7 MB fixture vs ~7.9 MB bucket-padded
+        # tiles) and run the dynamic-tile resize + split + thumbnail on
+        # device (one jit per (page shape, grid) group). Default OFF: in the
+        # device-bound batch pipeline the host PIL tiling overlaps the
+        # in-flight decode for free, while the device resize adds to the
+        # serial device timeline (measured: 9.89 -> 10.17 s/batch-8 through
+        # the tunnel). Flip ON when the HOST is the bottleneck (high-QPS
+        # serving on attached hardware) — it also cuts h2d bytes ~2x. The
+        # host path is additionally bit-exact with the reference's PIL
+        # tiling; jax cubic+antialias is near- but not bit-identical.
+        self.device_tile_pages = device_tile_pages
         self.use_flash = (
             use_flash if use_flash is not None else jax.devices()[0].platform == "tpu"
         )
@@ -155,6 +167,9 @@ class CalliReaderEngine:
             self._char_pipeline_raw_impl, static_argnames=("hard_vq",)
         )
         self._build_embeds = jax.jit(self._build_embeds_impl)
+        self._page_tiles = jax.jit(
+            self._page_tiles_impl, static_argnames=("cols", "rows", "thumb")
+        )
         self.timings = Timings()
 
     # ------------------------------------------------------------------
@@ -220,6 +235,61 @@ class CalliReaderEngine:
         feats = self._vision_encode_impl(params, canvas)
         return self._resample_vq_impl(params, feats, hard_vq=hard_vq)
 
+    def _page_tiles_impl(self, pages_u8, *, cols: int, rows: int, thumb: bool):
+        """(B, H, W, 3) uint8 raw pages -> (B*T, S, S, 3) uint8 dynamic
+        tiles, T = cols*rows (+1 thumbnail), on device. The pixel half of
+        vision/preprocess.dynamic_tile: bicubic antialiased resize to the
+        (cols*S, rows*S) grid, row-major split, per-page thumbnail appended
+        — image-major output order identical to the host pixel_list concat."""
+        S = self.cfg.force_image_size
+        B = pages_u8.shape[0]
+        x = pages_u8.astype(jnp.float32)
+        grid = jax.image.resize(x, (B, rows * S, cols * S, 3), "cubic")
+        tiles = (
+            grid.reshape(B, rows, S, cols, S, 3)
+            .transpose(0, 1, 3, 2, 4, 5)
+            .reshape(B, rows * cols, S, S, 3)
+        )
+        if thumb:
+            tn = jax.image.resize(x, (B, S, S, 3), "cubic")
+            tiles = jnp.concatenate([tiles, tn[:, None]], axis=1)
+        tiles = jnp.clip(jnp.round(tiles), 0, 255).astype(jnp.uint8)
+        return tiles.reshape(-1, S, S, 3)
+
+    def batch_tile_pages(
+        self, imgs_np: Sequence[np.ndarray]
+    ) -> Tuple[jax.Array, List[int]]:
+        """Dynamic tiling for a batch of raw pages with the resize on device:
+        pages grouped by (shape, grid) -> one dispatch per group -> tiles
+        reassembled image-major. Returns (tile concat (T_total, S, S, 3)
+        uint8 device array, per-image tile counts)."""
+        cfg = self.cfg
+        groups: Dict[Tuple[int, int, int, int], List[int]] = {}
+        grids: Dict[int, Tuple[int, int]] = {}
+        for i, im in enumerate(imgs_np):
+            h, w = im.shape[:2]
+            c, r = preprocess.tile_grid(
+                w, h, max_num=cfg.max_dynamic_patch, image_size=cfg.force_image_size
+            )
+            grids[i] = (c, r)
+            groups.setdefault((h, w, c, r), []).append(i)
+        per_image: List[Optional[jax.Array]] = [None] * len(imgs_np)
+        counts = [0] * len(imgs_np)
+        for (h, w, c, r), idxs in groups.items():
+            thumb = self.cfg.use_thumbnail and (c * r) != 1
+            t = c * r + (1 if thumb else 0)
+            stack = np.stack([imgs_np[i] for i in idxs])
+            tiles = self._page_tiles(jnp.asarray(stack), cols=c, rows=r, thumb=thumb)
+            for j, i in enumerate(idxs):
+                per_image[i] = tiles[j * t : (j + 1) * t]
+                counts[i] = t
+        cat = (
+            per_image[0]
+            if len(per_image) == 1
+            else jnp.concatenate(per_image, axis=0)
+        )
+        return cat, counts
+
     def _build_embeds_impl(self, params, input_ids, img_embeds, pseudo_embeds):
         """Token embed + double splice (<IMG_CONTEXT>=img, ALIGNED=pseudo)."""
         from callireader_tpu.models.internlm2 import embed_tokens
@@ -241,18 +311,31 @@ class CalliReaderEngine:
 
     BATCH_TILE_BUCKETS = (26, 52, 104, 208)
 
-    def encode_image_tiles(self, tiles: np.ndarray) -> jax.Array:
+    def encode_image_tiles(self, tiles) -> jax.Array:
         """Run ViT+projector over a (N,H,W,C) tile stack, bucket-padded.
         Accepts multi-image unions beyond the per-image tile cap (13) via
-        extended buckets, chunked at the largest."""
+        extended buckets, chunked at the largest. ``tiles`` may already be a
+        device array (batch_tile_pages output) — bucket padding then happens
+        on device and no further h2d occurs."""
         buckets = preprocess.TILE_BUCKETS
         if tiles.shape[0] > buckets[-1]:
             buckets = (*buckets, *self.BATCH_TILE_BUCKETS)
         cap = buckets[-1]
+        on_device = isinstance(tiles, jax.Array)
         outs = []
         for lo in range(0, tiles.shape[0], cap):
-            padded, n = preprocess.pad_to_bucket(tiles[lo : lo + cap], buckets)
-            outs.append(self._vision_encode(self.params, jnp.asarray(padded))[:n])
+            part = tiles[lo : lo + cap]
+            if on_device:
+                n = part.shape[0]
+                target = preprocess.bucket_tiles(n, buckets)
+                if target != n:
+                    part = jnp.pad(
+                        part, ((0, target - n),) + ((0, 0),) * (part.ndim - 1)
+                    )
+            else:
+                part, n = preprocess.pad_to_bucket(part, buckets)
+                part = jnp.asarray(part)
+            outs.append(self._vision_encode(self.params, part)[:n])
         return outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
 
     def encode_char_slices(self, slices: np.ndarray) -> jax.Array:
@@ -899,13 +982,24 @@ class CalliReaderEngine:
         # over all pages, union char encode, one (chunked) tile encode —
         # collapses ~5 device dispatches per image into ~5 per BATCH
         imgs_np = [np.asarray(preprocess.open_image(im)) for im in images]
-        pixel_list = [
-            preprocess.load_image(
-                im, self.cfg.force_image_size, self.cfg.max_dynamic_patch,
-                self.cfg.use_thumbnail, as_uint8=True,
-            )
-            for im in imgs_np
-        ]
+        if self.device_tile_pages:
+            # raw pages up, resize/split/thumbnail on device (fewer h2d
+            # bytes AND the host PIL resize off the critical path)
+            t0 = time.time()
+            tile_cat, tile_counts = self.batch_tile_pages(imgs_np)
+            self.timings.add("page_tiling", time.time() - t0)
+        else:
+            t0 = time.time()
+            pixel_list = [
+                preprocess.load_image(
+                    im, self.cfg.force_image_size, self.cfg.max_dynamic_patch,
+                    self.cfg.use_thumbnail, as_uint8=True,
+                )
+                for im in imgs_np
+            ]
+            tile_counts = [pv.shape[0] for pv in pixel_list]
+            tile_cat = np.concatenate(pixel_list, axis=0)
+            self.timings.add("page_tiling", time.time() - t0)
         if use_p:
             aligned = self.batch_calli_align(
                 imgs_np, drop_zero=drop_zero, hard_vq=hard_vq,
@@ -914,8 +1008,7 @@ class CalliReaderEngine:
         else:
             aligned = [(None, None)] * len(images)
 
-        tile_counts = [pv.shape[0] for pv in pixel_list]
-        all_feats = self.encode_image_tiles(np.concatenate(pixel_list, axis=0))
+        all_feats = self.encode_image_tiles(tile_cat)
 
         rows = []
         out_questions = []
@@ -926,7 +1019,7 @@ class CalliReaderEngine:
                 q = q + ALIGNED * pseudo.shape[0]
             out_questions.append(q)
             conv = build_chat_prompt(q, history)
-            query = self._expand_image_tokens(conv.get_prompt(), [pixel_list[i].shape[0]])
+            query = self._expand_image_tokens(conv.get_prompt(), [tile_counts[i]])
             ids = self._tokenize_prompt(query)
             rows.append((ids, pseudo))
 

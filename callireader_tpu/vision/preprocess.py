@@ -120,6 +120,27 @@ def dynamic_tile(
     return tiles
 
 
+def tile_grid(
+    ow: int, oh: int, min_num: int = 1, max_num: int = 12, image_size: int = 448
+) -> Tuple[int, int]:
+    """The (cols, rows) grid dynamic_tile would pick for a (ow, oh) page —
+    the host-side half of on-device tiling (engine.batch_tile_pages): grid
+    selection is scalar math on the page dims; the pixel work (resize +
+    split + thumbnail) runs on device."""
+    aspect = ow / oh
+    ratios = sorted(
+        {
+            (i, j)
+            for n in range(min_num, max_num + 1)
+            for i in range(1, n + 1)
+            for j in range(1, n + 1)
+            if min_num <= i * j <= max_num
+        },
+        key=lambda x: x[0] * x[1],
+    )
+    return find_closest_aspect_ratio(aspect, ratios, ow, oh, image_size)
+
+
 def load_image(
     image: ImageLike, input_size: int = 448, max_num: int = 12, use_thumbnail: bool = True,
     as_uint8: bool = False,

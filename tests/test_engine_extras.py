@@ -259,6 +259,10 @@ def test_batched_embed_build_matches_per_row(engine):
     splice + concat exactly; a history turn (pseudo computed but no ALIGNED
     slots) must trip the host-side count check into the per-row fallback."""
     engine.detector = lambda img: [[8.0, 8.0, 24.0, 24.0], [33.0, 18.0, 49.0, 34.0]]
+    # host-PIL tile path (the engine default): EXACT equality against
+    # per-row host load_image; the opt-in on-device tiling is near- but not
+    # bit-equal (covered by test_device_tile_pages_close_to_host)
+    assert engine.device_tile_pages is False
     imgs = [np.asarray(_img(11)), np.asarray(_img(12)), np.asarray(_img(13))]
     qs = ["读出图中所有文字。", "作者是谁？", "这幅书法作品内容是什么？"]
     rows = engine.batch_build_rows(imgs, qs)
@@ -335,3 +339,43 @@ def test_device_resize_chars_close_to_host_path(engine):
         np.linalg.norm(dp, axis=-1) * np.linalg.norm(hp, axis=-1), 1e-9
     )
     assert cos.min() > 0.999, cos.min()
+
+
+def test_device_tile_pages_close_to_host(engine):
+    """batch_tile_pages (device dynamic tiling) must reproduce the host
+    load_image tiles: identical counts/order/grid, pixel values close (jax
+    cubic+antialias vs PIL bicubic differ slightly in kernel windowing)."""
+    from callireader_tpu.vision import preprocess
+
+    rng = np.random.RandomState(7)
+    # two shapes -> two (shape, grid) dispatch groups, interleaved to test
+    # image-major reassembly
+    imgs = [
+        rng.randint(0, 255, (96, 64, 3), np.uint8),
+        rng.randint(0, 255, (64, 96, 3), np.uint8),
+        rng.randint(0, 255, (96, 64, 3), np.uint8),
+    ]
+    cat, counts = engine.batch_tile_pages(imgs)
+    host = [
+        preprocess.load_image(
+            im, engine.cfg.force_image_size, engine.cfg.max_dynamic_patch,
+            engine.cfg.use_thumbnail, as_uint8=True,
+        )
+        for im in imgs
+    ]
+    assert counts == [h.shape[0] for h in host]
+    got = np.asarray(cat)
+    ref = np.concatenate(host, axis=0)
+    assert got.shape == ref.shape and got.dtype == np.uint8
+    diff = np.abs(got.astype(np.int16) - ref.astype(np.int16))
+    assert diff.mean() < 3.0, diff.mean()
+    assert np.percentile(diff, 99) <= 30, np.percentile(diff, 99)
+
+    # grid helper agrees with dynamic_tile on the real fixture dims
+    c, r = preprocess.tile_grid(788, 2000, max_num=engine.cfg.max_dynamic_patch,
+                                image_size=engine.cfg.force_image_size)
+    n_host = preprocess.load_image(
+        np.full((2000, 788, 3), 200, np.uint8), engine.cfg.force_image_size,
+        engine.cfg.max_dynamic_patch, engine.cfg.use_thumbnail, as_uint8=True,
+    ).shape[0]
+    assert c * r + 1 == n_host
