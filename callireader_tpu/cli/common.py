@@ -86,7 +86,7 @@ def build_engine(
         params = e_it.merge_params(state.trainable, frozen)
         params["llm"] = lora.merge_lora(params["llm"])
 
-    if quant == "int8":
+    if quant in ("int8", "int8-all"):
         from callireader_tpu.runtime.quantize import param_bytes, quantize_llm_int8
 
         before = param_bytes(params["llm"])
@@ -96,6 +96,18 @@ def build_engine(
             f"[engine] int8 weight-only quantization: LLM {before/1e9:.1f} GB -> {after/1e9:.1f} GB",
             file=sys.stderr,
         )
+        if quant == "int8-all":
+            # + the ViT tower: the char-crop encode dominates the OCR
+            # pipeline's device time, and int8 MXU throughput is 2x bf16
+            from callireader_tpu.runtime.quantize import quantize_vit_int8
+
+            vb = param_bytes(params["vision"])
+            params["vision"] = quantize_vit_int8(params["vision"])
+            print(
+                f"[engine] int8 ViT: {vb/1e9:.2f} GB -> "
+                f"{param_bytes(params['vision'])/1e9:.2f} GB",
+                file=sys.stderr,
+            )
     elif quant:
         raise ValueError(f"unknown quant mode {quant!r}")
 

@@ -43,7 +43,7 @@ def main(argv=None):
     parser.add_argument("--preset", type=str, default="callireader-8b")
     parser.add_argument("--checkpoint", type=str, default=os.environ.get("CALLIREADER_CKPT"))
     parser.add_argument("--random-init", action="store_true")
-    parser.add_argument("--quant", type=str, default=None, choices=[None, "int8"])
+    parser.add_argument("--quant", type=str, default=None, choices=[None, "int8", "int8-all"])
     parser.add_argument("--adapter", type=str, default=None,
                         help="orbax e-IT checkpoint dir (LoRA+mlp1) to merge before serving")
     parser.add_argument("--splits", type=str, nargs="*", default=None,

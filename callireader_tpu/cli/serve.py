@@ -39,7 +39,7 @@ def main(argv=None):
     parser.add_argument("--preset", type=str, default="callireader-8b")
     parser.add_argument("--checkpoint", type=str, default=os.environ.get("CALLIREADER_CKPT"))
     parser.add_argument("--random-init", action="store_true")
-    parser.add_argument("--quant", type=str, default=None, choices=[None, "int8"])
+    parser.add_argument("--quant", type=str, default=None, choices=[None, "int8", "int8-all"])
     parser.add_argument("--repetition-penalty", type=float, default=1.0)
     parser.add_argument("--device-tile-pages", action="store_true",
                         help="dynamic-tile pages on device (raw-page upload, "

@@ -158,11 +158,39 @@ def forward(
         use_flash = jax.devices()[0].platform == "tpu"
     Hn, Dh = cfg.num_attention_heads, cfg.head_dim
     S = x.shape[1]
+    if use_flash and not interpret and (Hn * Dh) % 128:
+        # Mosaic requires the packed kernel's E-wide column blocks to be
+        # lane-aligned (E % 128, packed_qkv_attention.py:146-150); tiny/test
+        # widths fall back to the XLA reference path on real TPU.
+        use_flash = False
+
+    def _mm(p, h, name):
+        """Layer linear, int8-aware: dispatches on ``{name}_kernel_q`` +
+        ``{name}_kernel_scale`` (runtime/quantize.quantize_vit_int8). Unlike
+        the LLM's weight-only path (decode is HBM-bound, so halving weight
+        bytes is the whole win), the ViT encode is MXU-compute-bound — so
+        the quantized path runs W8A8: activations are dynamically quantized
+        per token (absmax/127) and the matmul executes as int8 x int8 ->
+        int32 on the MXU (2x bf16 throughput), then rescales by (act_scale
+        x per-out-channel weight scale). GELU/LN/attention stay bf16."""
+        q = p.get(f"{name}_kernel_q")
+        if q is None:
+            return h @ p[f"{name}_kernel"].astype(h.dtype) + p[f"{name}_bias"].astype(h.dtype)
+        amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
+        hs = jnp.maximum(amax.astype(jnp.float32), 1e-6) / 127.0
+        hq = jnp.clip(jnp.round(h.astype(jnp.float32) / hs), -127, 127).astype(jnp.int8)
+        y = jax.lax.dot_general(
+            hq, q,
+            (((hq.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        y = y.astype(jnp.float32) * hs * p[f"{name}_kernel_scale"]
+        return y.astype(h.dtype) + p[f"{name}_bias"].astype(h.dtype)
 
     def body(carry, p):
         x = carry
         h = layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps, policy)
-        qkv = h @ p["qkv_kernel"].astype(h.dtype) + p["qkv_bias"].astype(h.dtype)
+        qkv = _mm(p, h, "qkv")
         if use_flash:
             # packed-QKV kernel: consumes (B, S, 3E) directly, zero transposes.
             # Fused-loop A/B inside the full 12-layer ViT on v5e (64 tiles):
@@ -183,13 +211,13 @@ def forward(
             v = qkv[:, :, 2].transpose(0, 2, 1, 3)
             ctx = attention_reference(q, k, v, causal=False)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, Hn * Dh)
-        ctx = ctx @ p["proj_kernel"].astype(ctx.dtype) + p["proj_bias"].astype(ctx.dtype)
+        ctx = _mm(p, ctx, "proj")
         x = x + ctx * p["ls1"].astype(ctx.dtype)
 
         h = layer_norm(x, p["norm2_scale"], p["norm2_bias"], cfg.layer_norm_eps, policy)
-        h = h @ p["fc1_kernel"].astype(h.dtype) + p["fc1_bias"].astype(h.dtype)
+        h = _mm(p, h, "fc1")
         h = jax.nn.gelu(h, approximate=False)
-        h = h @ p["fc2_kernel"].astype(h.dtype) + p["fc2_bias"].astype(h.dtype)
+        h = _mm(p, h, "fc2")
         x = x + h * p["ls2"].astype(h.dtype)
         return x, None
 

@@ -74,7 +74,14 @@ def engine_logical_axes(cfg: VLMConfig, params: Dict[str, Any]) -> Dict[str, Any
                         a["layers"][leaf] = ("stack",)
             axes[name] = a
         elif name == "vision":
-            axes[name] = internvit.logical_axes(cfg.vision)
+            a = internvit.logical_axes(cfg.vision)
+            if any(k.endswith("_kernel_q") for k in sub["layers"]):
+                from callireader_tpu.runtime.quantize import (
+                    quantized_vit_logical_axes,
+                )
+
+                a = quantized_vit_logical_axes(a, sub)
+            axes[name] = a
         elif name == "projector":
             axes[name] = projector.logical_axes(cfg)
         elif name == "resampler":

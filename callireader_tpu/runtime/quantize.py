@@ -71,6 +71,52 @@ def quantize_llm_int8(
     return out
 
 
+VIT_QUANT_TARGETS = ("qkv", "proj", "fc1", "fc2")
+
+
+def quantize_vit_int8(
+    vision_params: Dict[str, Any],
+    *,
+    targets: Sequence[str] = VIT_QUANT_TARGETS,
+) -> Dict[str, Any]:
+    """int8 weight-only for the ViT tower's scan-stacked layer linears
+    (``{name}_kernel`` (L, in, out) -> ``{name}_kernel_q`` + per-(layer,
+    out-channel) ``{name}_kernel_scale``). The char-crop ViT encode is the
+    dominant device stage of the OCR pipeline (~65% of the batch interval),
+    so halving its weight HBM traffic and running int8 MXU matmuls is the
+    serving lever; patch_embed / norms / layer-scales stay bf16 (tiny, and
+    the input projection sets the numeric floor). Dispatch:
+    models/internvit.forward's _mm."""
+    out = dict(vision_params)
+    layers = dict(out["layers"])
+    for name in targets:
+        w = layers.pop(f"{name}_kernel")
+        wf = w.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(wf), axis=1, keepdims=True)
+        scale = jnp.maximum(absmax, 1e-8) / 127.0
+        layers[f"{name}_kernel_q"] = jnp.clip(
+            jnp.round(wf / scale), -127, 127
+        ).astype(jnp.int8)
+        layers[f"{name}_kernel_scale"] = scale.astype(jnp.float32)
+    out["layers"] = layers
+    return out
+
+
+def quantized_vit_logical_axes(
+    axes: Dict[str, Any], params: Dict[str, Any]
+) -> Dict[str, Any]:
+    """Extend a ViT logical-axis tree for quantized leaves."""
+    layers = dict(axes["layers"])
+    for name in VIT_QUANT_TARGETS:
+        if f"{name}_kernel_q" in params["layers"]:
+            base = layers.pop(f"{name}_kernel", ("stack", "vit_embed", None))
+            layers[f"{name}_kernel_q"] = base
+            layers[f"{name}_kernel_scale"] = ("stack", None, base[-1])
+    out = dict(axes)
+    out["layers"] = layers
+    return out
+
+
 def dequantize_llm_int8(
     llm_params: Dict[str, Any],
     *,

@@ -58,3 +58,49 @@ def test_quantized_axes_cover_all_leaves():
         jax.tree.map(lambda _: 0, axes,
                      is_leaf=lambda x: isinstance(x, tuple) or x is None)
     )
+
+
+def test_quantized_vit_close_and_engine_runs():
+    """int8 ViT (--quant int8-all, W8A8: dynamic per-token activation quant
+    + int8 MXU matmuls): forward stays close to bf16 (relative error bounded
+    by the int8 rounding), engine encode path runs, axes cover every leaf."""
+    import numpy as np
+
+    from callireader_tpu.core.config import callireader_tiny
+    from callireader_tpu.models import internvit
+    from callireader_tpu.parallel import spmd
+    from callireader_tpu.runtime.engine import CalliReaderEngine, init_all_params
+    from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer
+
+    cfg = callireader_tiny()
+    rng = np.random.RandomState(0)
+    params = internvit.init_params(jax.random.PRNGKey(0), cfg.vision, jnp.float32)
+    px = jnp.asarray(rng.randint(0, 255, (2, cfg.force_image_size,
+                                          cfg.force_image_size, 3), np.uint8))
+    ref = internvit.forward(params, cfg.vision, px, policy=FP32_POLICY, use_flash=False)
+    qv = quantize.quantize_vit_int8(params)
+    assert qv["layers"]["qkv_kernel_q"].dtype == jnp.int8
+    assert "qkv_kernel" not in qv["layers"]
+    got = internvit.forward(qv, cfg.vision, px, policy=FP32_POLICY, use_flash=False)
+    rel = float(jnp.linalg.norm(got - ref) / (jnp.linalg.norm(ref) + 1e-9))
+    assert rel < 0.08, rel
+
+    # axes tree matches the quantized structure (sharding path)
+    full = init_all_params(jax.random.PRNGKey(1), cfg, dtype=jnp.float32)
+    full["vision"] = quantize.quantize_vit_int8(full["vision"])
+    axes = spmd.engine_logical_axes(cfg, full)
+    assert jax.tree.structure(
+        jax.tree.map(lambda _: 0, full["vision"])
+    ) == jax.tree.structure(
+        jax.tree.map(lambda _: 0, axes["vision"],
+                     is_leaf=lambda x: isinstance(x, tuple) or x is None)
+    )
+
+    # whole-engine smoke: tiles through the quantized tower
+    tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
+    eng = CalliReaderEngine(cfg, full, tok, policy=FP32_POLICY, use_flash=False)
+    feats = eng.encode_image_tiles(
+        rng.randint(0, 255, (2, cfg.force_image_size, cfg.force_image_size, 3),
+                    np.uint8)
+    )
+    assert np.isfinite(np.asarray(feats)).all()
