@@ -136,6 +136,7 @@ def forward(
     use_flash: Optional[bool] = None,
     interpret: bool = False,
     remat: bool = False,
+    attn_impl: Optional[str] = None,  # None=auto | single_pass | packed | reference
 ) -> jax.Array:
     """Returns last hidden state (B, 1+num_patches, E)."""
     B, H, W, _ = pixel_values.shape
@@ -158,11 +159,25 @@ def forward(
         use_flash = jax.devices()[0].platform == "tpu"
     Hn, Dh = cfg.num_attention_heads, cfg.head_dim
     S = x.shape[1]
-    if use_flash and not interpret and (Hn * Dh) % 128:
+    if attn_impl is None:
+        from callireader_tpu.kernels.vit_attention import MAX_SINGLE_PASS_KV
+
+        if not use_flash:
+            attn_impl = "reference"
+        elif interpret and -(-S // 128) * 128 <= MAX_SINGLE_PASS_KV and Dh % 64 == 0:
+            # ViT rows are short (448px tile -> S=1025): one head's K/V fits
+            # VMEM, so the single-pass kernel is eligible (no online-softmax
+            # state, no lane-misaligned head slicing; vit_attention.py
+            # header). TODO(tpu-ab): flip real-TPU auto to single_pass once
+            # the fused-loop A/B on hardware confirms the win.
+            attn_impl = "single_pass"
+        else:
+            attn_impl = "packed"
+    if attn_impl == "packed" and not interpret and (Hn * Dh) % 128:
         # Mosaic requires the packed kernel's E-wide column blocks to be
         # lane-aligned (E % 128, packed_qkv_attention.py:146-150); tiny/test
         # widths fall back to the XLA reference path on real TPU.
-        use_flash = False
+        attn_impl = "reference"
 
     def _mm(p, h, name):
         """Layer linear, int8-aware: dispatches on ``{name}_kernel_q`` +
@@ -191,7 +206,13 @@ def forward(
         x = carry
         h = layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps, policy)
         qkv = _mm(p, h, "qkv")
-        if use_flash:
+        if attn_impl == "single_pass":
+            from callireader_tpu.kernels.vit_attention import (
+                attention_from_packed_qkv,
+            )
+
+            ctx = attention_from_packed_qkv(qkv, Hn, interpret=interpret)
+        elif attn_impl == "packed":
             # packed-QKV kernel: consumes (B, S, 3E) directly, zero transposes.
             # Fused-loop A/B inside the full 12-layer ViT on v5e (64 tiles):
             # packed kernel 322ms vs chunked-einsum 439ms vs full-einsum

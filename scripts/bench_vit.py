@@ -23,6 +23,12 @@ def main(argv=None):
     p.add_argument("--preset", default="callireader-2b")
     p.add_argument("--tiles", type=int, default=64)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument(
+        "--attn-impl",
+        default=None,
+        choices=["single_pass", "packed", "reference"],
+        help="override the ViT attention kernel (default: auto)",
+    )
     args = p.parse_args(argv)
 
     import jax
@@ -46,7 +52,10 @@ def main(argv=None):
 
     @jax.jit
     def encode(params, pixels):
-        h = internvit.forward(params["vision"], cfg.vision, pixels, use_flash=on_tpu)
+        h = internvit.forward(
+            params["vision"], cfg.vision, pixels, use_flash=on_tpu,
+            attn_impl=args.attn_impl,
+        )
         return projector.extract_feature(params["projector"], h, cfg)
 
     rng = np.random.RandomState(0)
@@ -81,6 +90,7 @@ def main(argv=None):
             "tiles": args.tiles,
             "ms_per_batch_device": round(dev_dt * 1e3, 1),
             "ms_per_batch_with_h2d": round(h2d_dt * 1e3, 1),
+            "attn_impl": args.attn_impl or "auto",
         })
     )
 
