@@ -172,6 +172,15 @@ def main():
             print("[bench] detector found <50 boxes; falling back to GT stub",
                   file=sys.stderr)
             use_real_det = False
+    of_ckpt = os.path.join(os.path.dirname(DET_CKPT), "orderformer.npz")
+    of_mode = "random"
+    if os.path.exists(of_ckpt):
+        # trained reading-order regressor (scripts/train_orderformer.py);
+        # same cost as random weights — this only makes the measured column
+        # ordering real
+        engine.params["orderformer"] = det_mod.load_npz(of_ckpt)
+        of_mode = "trained_ckpt"
+
     if not use_real_det:
         real_detector = engine.detector
 
@@ -344,6 +353,7 @@ def main():
                     "batch": BATCH,
                     "page": page_source,
                     "detector": det_mode,
+                    "orderformer": of_mode,
                     "chars_per_image": int(n_chars),
                     "tiles_per_image": int(n_tiles),
                     "decode_tokens": DECODE_TOKENS,

@@ -11,6 +11,47 @@ from callireader_tpu.runtime.engine import CalliReaderEngine, init_all_params
 from callireader_tpu.runtime.tokenizer import DEFAULT_MODEL, InternLM2Tokenizer
 
 
+_ASSETS_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "assets"
+)
+
+
+def _overlay_trained_assets(params: dict, cfg: VLMConfig, replaceable: set) -> None:
+    """Overlay the in-repo trained slicing-prior checkpoints — the TPU
+    analogues of the reference's separately-shipped params/best.pt (YOLO) and
+    params/orderformer.pth (config/configu.py:61-62) — onto components that
+    would otherwise run with random weights. Components loaded from a user
+    checkpoint are never replaced, and presets whose module architecture
+    differs from the shipped checkpoints (e.g. tiny test configs) are
+    skipped."""
+    from callireader_tpu.core.config import DetectorConfig, OrderFormerConfig
+    from callireader_tpu.models.detector import load_npz
+
+    det_d = DetectorConfig()
+    of_d = OrderFormerConfig()
+    arch_ok = {
+        # operating-point fields (conf/NMS thresholds, max_boxes pad) are
+        # tunable per run and do not affect weight shapes
+        "detector": all(
+            getattr(cfg.detector, f) == getattr(det_d, f)
+            for f in ("num_classes", "depth_mult", "width_mult", "max_channels",
+                      "reg_max", "img_size")
+        ),
+        "orderformer": all(
+            getattr(cfg.orderformer, f) == getattr(of_d, f)
+            for f in ("input_dim", "model_dim", "num_heads", "num_layers",
+                      "output_dim", "ff_dim")
+        ),
+    }
+    for name, fname in (("detector", "detector_640.npz"),
+                        ("orderformer", "orderformer.npz")):
+        path = os.path.join(_ASSETS_DIR, fname)
+        if name not in replaceable or not arch_ok[name] or not os.path.exists(path):
+            continue
+        params[name] = load_npz(path)
+        print(f"[engine] trained {name} loaded from {path}", file=sys.stderr)
+
+
 def build_engine(
     *,
     preset: str = "callireader-8b",
@@ -27,6 +68,7 @@ def build_engine(
     device_resize_chars: bool = True,
     device_tile_pages: bool = True,
     mesh_spec: Optional[str] = None,
+    trained_assets: bool = True,
 ) -> CalliReaderEngine:
     """``mesh_spec``: e.g. "tensor=4,fsdp=2" — SPMD inference over all local
     devices (required to serve callireader-8b bf16, which exceeds one chip)."""
@@ -51,6 +93,7 @@ def build_engine(
         )
         # components absent from the checkpoint fall back to random init
         missing = {"detector", "orderformer", "resampler", "align"} - set(params)
+        random_components = set(missing)
         if missing:
             print(f"[engine] random-initializing missing components: {missing}", file=sys.stderr)
             rand = init_all_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
@@ -63,6 +106,7 @@ def build_engine(
             file=sys.stderr,
         )
         params = init_all_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+        random_components = {"detector", "orderformer"}
     else:
         raise FileNotFoundError(
             f"checkpoint_dir {checkpoint_dir!r} not found; pass --random-init to run "
@@ -110,6 +154,9 @@ def build_engine(
             )
     elif quant:
         raise ValueError(f"unknown quant mode {quant!r}")
+
+    if trained_assets:
+        _overlay_trained_assets(params, cfg, random_components)
 
     mesh = None
     if mesh_spec:

@@ -66,6 +66,8 @@ def main(argv=None):
                         help="ship the raw page and dynamic-tile on device "
                         "(fewer h2d bytes + host resize off the critical "
                         "path; near- but not bit-identical to PIL tiling)")
+    parser.add_argument("--no-trained-assets", action="store_true",
+                        help="skip the in-repo trained detector/orderformer overlays")
     args = parser.parse_args(argv)
     if getattr(args, "gray_chars", False) and args.rgb_chars:
         parser.error("--gray-chars and --rgb-chars are mutually exclusive")
@@ -84,6 +86,7 @@ def main(argv=None):
         quant=args.quant, adapter_path=args.adapter, gray_chars=args.gray_chars,
         device_resize_chars=args.device_resize_chars,
         device_tile_pages=args.device_tile_pages, mesh_spec=args.mesh,
+        trained_assets=not args.no_trained_assets,
     )
     if args.batch_size is None:
         import jax

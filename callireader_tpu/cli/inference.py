@@ -65,6 +65,8 @@ def main(argv=None):
                         help="orbax e-IT checkpoint dir (LoRA+mlp1) to merge before serving")
     parser.add_argument("--mesh", type=str, default=None,
                         help='SPMD inference mesh, e.g. "tensor=4,fsdp=2"')
+    parser.add_argument("--no-trained-assets", action="store_true",
+                        help="skip the in-repo trained detector/orderformer overlays")
     args = parser.parse_args(argv)
 
     if not isinstance(args.tgt, str):
@@ -75,6 +77,7 @@ def main(argv=None):
     engine = build_engine(
         preset=args.preset, checkpoint_dir=args.checkpoint, random_init_ok=args.random_init,
         quant=args.quant, adapter_path=args.adapter, mesh_spec=args.mesh,
+        trained_assets=not args.no_trained_assets,
     )
 
     def rec(image_path):

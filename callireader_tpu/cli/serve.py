@@ -60,6 +60,8 @@ def main(argv=None):
                         help='SPMD inference mesh, e.g. "tensor=4,fsdp=2" — '
                         "shards params + KV cache over all local devices "
                         "(required for callireader-8b bf16)")
+    parser.add_argument("--no-trained-assets", action="store_true",
+                        help="skip the in-repo trained detector/orderformer overlays")
     args = parser.parse_args(argv)
     if getattr(args, "gray_chars", False) and args.rgb_chars:
         parser.error("--gray-chars and --rgb-chars are mutually exclusive")
@@ -78,6 +80,7 @@ def main(argv=None):
         random_init_ok=args.random_init, quant=args.quant,
         gray_chars=not args.rgb_chars,
         device_tile_pages=args.device_tile_pages, mesh_spec=args.mesh,
+        trained_assets=not args.no_trained_assets,
     )
     cfg = engine.cfg
     sep = get_conv_template(cfg.template).sep

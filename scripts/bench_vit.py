@@ -1,10 +1,16 @@
 """ViT encode throughput evidence: tiles/sec through the vision tower.
 
   python scripts/bench_vit.py --preset callireader-2b --tiles 64 --iters 5
+  python scripts/bench_vit.py --attn-impl both    # kernel A/B, one process
 
 Measures the jitted ViT+projector program on a resident tile batch (pure
 device compute) and with fresh host tiles per iter (h2d included). Prints ONE
-JSON line. Run on TPU for the recorded numbers.
+JSON line per implementation. Run on TPU for the recorded numbers. The
+`both` mode A/Bs the packed-QKV kernel against the single-pass kernel
+(kernels/vit_attention.py) inside the full fused encoder loop in a single
+process — one tunnel warmup, same input batch; per the fused-loop rule in
+docs/KERNELS.md, never trust single-dispatch microbenchmarks through the
+tunnel.
 """
 
 from __future__ import annotations
@@ -26,8 +32,9 @@ def main(argv=None):
     p.add_argument(
         "--attn-impl",
         default=None,
-        choices=["single_pass", "packed", "reference"],
-        help="override the ViT attention kernel (default: auto)",
+        choices=["single_pass", "packed", "reference", "both"],
+        help="override the ViT attention kernel (default: auto); "
+        "'both' A/Bs packed vs single_pass in one process",
     )
     args = p.parse_args(argv)
 
@@ -50,11 +57,13 @@ def main(argv=None):
         "projector": projector.init_params(ks[1], cfg, jnp.bfloat16),
     }
 
-    @jax.jit
-    def encode(params, pixels):
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("impl",))
+    def encode(params, pixels, impl):
         h = internvit.forward(
             params["vision"], cfg.vision, pixels, use_flash=on_tpu,
-            attn_impl=args.attn_impl,
+            attn_impl=impl,
         )
         return projector.extract_feature(params["projector"], h, cfg)
 
@@ -65,34 +74,47 @@ def main(argv=None):
     tiles = rng.randint(0, 255, (args.tiles, S, S, 3)).astype(np.uint8)
     dev_tiles = jnp.asarray(tiles)
 
-    out = encode(params, dev_tiles)
-    _ = np.asarray(out[0, 0, :2])  # sync (block_until_ready lies through the tunnel)
-    print("[bench_vit] warmup done", file=sys.stderr)
-
-    t0 = time.time()
-    for _ in range(args.iters):
-        out = encode(params, dev_tiles)
-    _ = np.asarray(out[0, 0, :2])
-    dev_dt = (time.time() - t0) / args.iters
-
-    t0 = time.time()
-    for _ in range(args.iters):
-        out = encode(params, jnp.asarray(tiles))
-    _ = np.asarray(out[0, 0, :2])
-    h2d_dt = (time.time() - t0) / args.iters
-
-    print(
-        json.dumps({
-            "metric": "vit_tiles_per_sec",
-            "value": round(args.tiles / dev_dt, 2),
-            "unit": "tiles/s",
-            "with_h2d_tiles_per_sec": round(args.tiles / h2d_dt, 2),
-            "tiles": args.tiles,
-            "ms_per_batch_device": round(dev_dt * 1e3, 1),
-            "ms_per_batch_with_h2d": round(h2d_dt * 1e3, 1),
-            "attn_impl": args.attn_impl or "auto",
-        })
+    impls = (
+        ["packed", "single_pass"] if args.attn_impl == "both" else [args.attn_impl]
     )
+    ref_out = None
+    for impl in impls:
+        out = encode(params, dev_tiles, impl)
+        got = np.asarray(out[0, 0, :4], np.float32)  # sync (block_until_ready
+        # lies through the tunnel)
+        if args.attn_impl == "both":
+            if ref_out is None:
+                ref_out = got
+            else:
+                rel = float(np.max(np.abs(got - ref_out) / (np.abs(ref_out) + 1e-3)))
+                print(f"[bench_vit] impl outputs agree to rel {rel:.1e}",
+                      file=sys.stderr)
+        print(f"[bench_vit] warmup done ({impl or 'auto'})", file=sys.stderr)
+
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = encode(params, dev_tiles, impl)
+        _ = np.asarray(out[0, 0, :2])
+        dev_dt = (time.time() - t0) / args.iters
+
+        t0 = time.time()
+        for _ in range(args.iters):
+            out = encode(params, jnp.asarray(tiles), impl)
+        _ = np.asarray(out[0, 0, :2])
+        h2d_dt = (time.time() - t0) / args.iters
+
+        print(
+            json.dumps({
+                "metric": "vit_tiles_per_sec",
+                "value": round(args.tiles / dev_dt, 2),
+                "unit": "tiles/s",
+                "with_h2d_tiles_per_sec": round(args.tiles / h2d_dt, 2),
+                "tiles": args.tiles,
+                "ms_per_batch_device": round(dev_dt * 1e3, 1),
+                "ms_per_batch_with_h2d": round(h2d_dt * 1e3, 1),
+                "attn_impl": impl or "auto",
+            })
+        )
 
 
 if __name__ == "__main__":
