@@ -47,6 +47,12 @@ N_BATCHES = 12  # tunnel stalls hit ~1-2 intervals/run; a wider window keeps
 # the median/IQR anchored on the pipeline, not the stall
 N_TTFT = 5
 DECODE_TOKENS = 256
+
+# BENCH_SMOKE=1: tiny-config CPU shakedown of the full measurement machinery
+# (pipeline schedule, convergence, JSON shape) — NOT a performance number.
+SMOKE = bool(os.environ.get("BENCH_SMOKE"))
+if SMOKE:
+    BATCH, N_BATCHES, N_TTFT, DECODE_TOKENS = 2, 3, 2, 8
 CONVERGE_WINDOW = 3
 CONVERGE_TOL = 0.10
 WARM_CAP_S = 600.0
@@ -123,6 +129,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if SMOKE:  # must precede any backend initialization
+        jax.config.update("jax_platforms", "cpu")
+
     from callireader_tpu.core.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -138,7 +147,12 @@ def main():
     from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer
     from callireader_tpu.vision import preprocess
 
-    cfg = callireader_2b()
+    if SMOKE:
+        from callireader_tpu.core.config import callireader_tiny
+
+        cfg = callireader_tiny()
+    else:
+        cfg = callireader_2b()
     on_tpu = jax.devices()[0].platform != "cpu"
     print(f"[bench] platform={jax.devices()[0].platform}", file=sys.stderr)
 
@@ -148,7 +162,8 @@ def main():
 
     page, gt_flat, page_source = load_page()
 
-    use_real_det = os.path.exists(DET_CKPT) and not os.environ.get("BENCH_GT_BOXES")
+    use_real_det = (os.path.exists(DET_CKPT) and not SMOKE
+                    and not os.environ.get("BENCH_GT_BOXES"))
     det_mode = "gt_stub"
     if use_real_det:
         import dataclasses as _dc
@@ -174,7 +189,7 @@ def main():
             use_real_det = False
     of_ckpt = os.path.join(os.path.dirname(DET_CKPT), "orderformer.npz")
     of_mode = "random"
-    if os.path.exists(of_ckpt):
+    if os.path.exists(of_ckpt) and not SMOKE:
         # trained reading-order regressor (scripts/train_orderformer.py);
         # same cost as random weights — this only makes the measured column
         # ordering real
@@ -186,15 +201,26 @@ def main():
 
         class StubDetector:
             """Runs the detector forward (cost counted) but returns the GT
-            boxes (deterministic box counts without a trained ckpt)."""
+            boxes (deterministic box counts without a trained ckpt). Exposes
+            the dispatch/fetch/postprocess phases so the pipelined schedule
+            is identical to the trained-ckpt path."""
 
             def __call__(self, img):
                 _ = real_detector(img)
                 return [list(b) for b in gt_flat]
 
-            def batch(self, images):
-                _ = real_detector.batch(images)
+            def dispatch(self, images):
+                return real_detector.dispatch(images)
+
+            def fetch(self, handle):
+                return real_detector.fetch(handle)
+
+            def postprocess(self, images, fetched):
+                _ = real_detector.postprocess(images, fetched)
                 return [[list(b) for b in gt_flat] for _ in images]
+
+            def batch(self, images):
+                return self.postprocess(images, self.fetch(self.dispatch(images)))
 
         engine.detector = StubDetector()
 
@@ -215,15 +241,25 @@ def main():
         return engine._build_row_embeds(ids, img_embeds, pseudo, bucket)
 
     def detect_boxes():
-        """Box stage (detector forward + NMS + kmeans/merge + OrderFormer):
-        d2h-syncs, so the pipeline runs it only while the device is FREE —
-        queued behind an in-flight decode it would block the host for the
-        decode's remaining duration (measured: 2.9 -> 6.3 s/batch when the
-        tunnel degrades)."""
+        """Unpipelined box stage (warmup only): detector forward + NMS +
+        kmeans/merge + OrderFormer in one go."""
         t0 = time.time()
         ordered = engine.batch_sort_boxes([page] * BATCH)
         engine.timings.add("yolo_orderformer", time.time() - t0)
         return ordered
+
+    # phased box stage (engine.detect_dispatch/detect_fetch/columns_stage/
+    # order_stage): only the phases that read device memory (fetch, order)
+    # must sit in the device-free gap; dispatch overlaps the decode it queues
+    # behind, and the pure-host column clustering overlaps the next decode.
+    HAS_DISPATCH = hasattr(engine.detector, "dispatch")
+    pages_list = [page] * BATCH
+
+    def _timed(key, fn, *a):
+        t0 = time.time()
+        out = fn(*a)
+        engine.timings.add(key, time.time() - t0)
+        return out
 
     def build_batch(ordered=None):
         """The engine's batched vision front end: fused char pipeline in
@@ -278,27 +314,56 @@ def main():
 
     # ---- 3. throughput: pipeline to convergence, then measure ----
     # Schedule per interval (one generate in flight):
-    #   build(N+1)  — async char/tile/embed dispatches overlap decode N
-    #   sync(N)     — decode N retires
-    #   detect(N+2) — box stage in the device-free gap (it d2h-syncs)
+    #   build(N+1)    — async char/tile/embed dispatches overlap decode N
+    #   columns(N+2)  — pure-host dedup/kmeans/merge overlaps decode N
+    #   sync(N)       — decode N retires
+    #   order(N+2)    — OrderFormer round trip in the device-free gap
+    #   fetch(N+3)    — small detector d2h + NMS in the device-free gap
     #   launch(N+1)
-    # Detection therefore runs TWO batches ahead of its decode.
+    #   dispatch(N+4) — letterbox + h2d + detector forward, queues behind
+    #                   decode N+1 (no readback, so it never blocks the host)
+    # Detection therefore runs FOUR batches ahead of its decode; only the
+    # ~1 MB anchor readback and the tiny OrderFormer round trip occupy the
+    # device-free gap (the h2d bytes, host resizes, and dispatch RPCs all
+    # hide under decode compute).
     engine.timings.spans.clear()
-    state = {"ordered": detect_boxes()}
-    rows0 = build_batch(state["ordered"])
-    state["ordered"] = detect_boxes()  # device still free
-    prev = launch(rows0)
+    if HAS_DISPATCH:
+        state = {
+            "ordered": detect_boxes(),
+            "dets": _timed("box_fetch_nms", lambda: engine.detect_fetch(
+                pages_list, engine.detect_dispatch(pages_list))),
+        }
+        rows0 = build_batch(state["ordered"])
+        prev = launch(rows0)
+        state["handle"] = _timed(
+            "box_dispatch", engine.detect_dispatch, pages_list)
+    else:  # stub detector (GT mode): no async half; keep the gap schedule
+        state = {"ordered": detect_boxes()}
+        rows0 = build_batch(state["ordered"])
+        state["ordered"] = detect_boxes()  # device still free
+        prev = launch(rows0)
     last = time.time()
 
     def pipeline_step():
         nonlocal prev, last
         rows = build_batch(state["ordered"])
+        if HAS_DISPATCH:
+            inter = _timed("box_columns", engine.columns_stage,
+                           pages_list, state["dets"])
         sync(prev)
         now = time.time()
         iv = now - last
         last = now
-        state["ordered"] = detect_boxes()
-        prev = launch(rows)
+        if HAS_DISPATCH:
+            state["ordered"] = _timed("box_order", engine.order_stage, inter)
+            state["dets"] = _timed("box_fetch_nms", engine.detect_fetch,
+                                   pages_list, state["handle"])
+            prev = launch(rows)
+            state["handle"] = _timed(
+                "box_dispatch", engine.detect_dispatch, pages_list)
+        else:
+            state["ordered"] = detect_boxes()
+            prev = launch(rows)
         return iv
 
     warm_iv = []

@@ -361,15 +361,30 @@ class Detector:
     def __call__(self, image_array: np.ndarray) -> List[List[float]]:
         return self.batch([image_array])[0]
 
-    def batch(self, images: List[np.ndarray]) -> List[List[List[float]]]:
-        """One forward for N letterboxed pages (amortizes the dispatch and
-        fills the MXU), then per-image host NMS + unletterbox."""
+    def dispatch(self, images: List[np.ndarray]):
+        """Async half of ``batch``: letterbox + uint8 h2d + one forward for N
+        pages, WITHOUT reading the result back. Returns an opaque handle for
+        ``fetch``. Safe to call while a decode program is in flight — the
+        d2h readback (which the tunnel serializes behind any running
+        program) is deferred, so a pipeline can hide the host resize, the
+        h2d bytes, and the dispatch RPC under device compute."""
         cfg = self.cfg
         metas = [letterbox(im, cfg.img_size) for im in images]
         stack = np.stack([m[0] for m in metas])
-        all_boxes, all_scores = forward(self.params, cfg, jnp.asarray(stack))
-        all_boxes = np.asarray(all_boxes)
-        all_scores = np.asarray(all_scores)
+        dev_boxes, dev_scores = forward(self.params, cfg, jnp.asarray(stack))
+        return dev_boxes, dev_scores, metas
+
+    def fetch(self, handle) -> Tuple[np.ndarray, np.ndarray, list]:
+        """Blocking half: one small d2h of all anchor candidates."""
+        dev_boxes, dev_scores, metas = handle
+        return np.asarray(dev_boxes), np.asarray(dev_scores), metas
+
+    def postprocess(
+        self, images: List[np.ndarray], fetched
+    ) -> List[List[List[float]]]:
+        """Pure-host tail: per-image conf filter + NMS + unletterbox."""
+        cfg = self.cfg
+        all_boxes, all_scores, metas = fetched
         out: List[List[List[float]]] = []
         for i, (image_array, (_, scale, (px, py))) in enumerate(zip(images, metas)):
             boxes, scores = all_boxes[i], all_scores[i]
@@ -387,3 +402,8 @@ class Detector:
             boxes[:, [1, 3]] = boxes[:, [1, 3]].clip(0, h)
             out.append(boxes.tolist())
         return out
+
+    def batch(self, images: List[np.ndarray]) -> List[List[List[float]]]:
+        """One forward for N letterboxed pages (amortizes the dispatch and
+        fills the MXU), then per-image host NMS + unletterbox."""
+        return self.postprocess(images, self.fetch(self.dispatch(images)))

@@ -586,17 +586,44 @@ class CalliReaderEngine:
             final.extend(lst)
         return final
 
-    def batch_sort_boxes(self, images: Sequence[np.ndarray], thres: float = 0.8):
-        """sort_boxes over N pages with ONE detector forward and ONE
-        OrderFormer forward (pages that saturate the detector, >250 boxes,
-        fall back to the per-image iterative-masking path). Returns a list of
-        reading-ordered flat box lists."""
-        det_batch = getattr(self.detector, "batch", None)
-        if det_batch is not None:
-            dets = det_batch(list(images))
-        else:  # stub detectors in tests/benches are plain callables
-            dets = [self.detector(im) for im in images]
+    # -- batched box pipeline, split into pipelineable phases ---------------
+    #
+    # A pipelined caller (bench.py, serving) schedules the phases around an
+    # in-flight decode on the same chip: the tunnel/runtime serializes any
+    # d2h readback behind the running program, so only the phases that DON'T
+    # read device memory may overlap a decode.
+    #
+    #   detect_dispatch  A  async (letterbox + h2d + forward)  overlaps decode
+    #   detect_fetch     B  one small d2h + host NMS           device-free gap
+    #   columns_stage    C  pure host (dedup + kmeans/merge)   overlaps decode
+    #   order_stage      D  OrderFormer round trip + y-sort    device-free gap
+    #
+    # batch_sort_boxes composes A-D for unpipelined callers.
 
+    def detect_dispatch(self, images: Sequence[np.ndarray]):
+        """Phase A: one async batched detector forward (no d2h). Stub
+        detectors without a ``dispatch`` method are evaluated eagerly."""
+        disp = getattr(self.detector, "dispatch", None)
+        if disp is None:
+            det_batch = getattr(self.detector, "batch", None)
+            if det_batch is not None:
+                return ("dets", det_batch(list(images)))
+            return ("dets", [self.detector(im) for im in images])
+        return ("handle", disp(list(images)))
+
+    def detect_fetch(self, images: Sequence[np.ndarray], handle):
+        """Phase B: read back the anchor candidates (one d2h, ~1 MB for 8
+        pages) and run host NMS -> per-image det box lists."""
+        kind, payload = handle
+        if kind == "dets":
+            return payload
+        return self.detector.postprocess(list(images), self.detector.fetch(payload))
+
+    def columns_stage(self, images: Sequence[np.ndarray], dets, thres: float = 0.8):
+        """Phase C (pure host): int-truncate + IoU dedup + kmeans/merge
+        column clustering. Pages that saturate the detector (>250 boxes)
+        fall back to the serial per-image masking path (device round trips —
+        in a pipelined caller this blocks behind any in-flight decode)."""
         results: List[Optional[List[List[float]]]] = [None] * len(images)
         pages = []
         page_owner = []
@@ -623,15 +650,22 @@ class CalliReaderEngine:
             pages.append((data["shapes"], w, h))
             page_owner.append(i)
             char_boxes_per[i] = char_boxes
-        if pages:
+        return {"results": results, "pages": pages, "page_owner": page_owner,
+                "char_boxes_per": char_boxes_per}
+
+    def order_stage(self, inter, thres: float = 0.8):
+        """Phase D: one batched OrderFormer forward (device round trip) +
+        per-column y-sort -> reading-ordered flat box lists per page."""
+        results = inter["results"]
+        if inter["pages"]:
             orders = orderformer.predict_batch(
-                self.params["orderformer"], self.cfg.orderformer, pages
+                self.params["orderformer"], self.cfg.orderformer, inter["pages"]
             )
-            for owner, col_order in zip(page_owner, orders):
+            for owner, col_order in zip(inter["page_owner"], orders):
                 final: List[List[float]] = []
                 for _, col in col_order.items():
                     lst = []
-                    for item in char_boxes_per[owner]:
+                    for item in inter["char_boxes_per"][owner]:
                         fb = [item[0][0], item[0][1], item[1][0], item[1][1]]
                         if boxes_mod.calculate_iou(col, fb, mini=True) >= thres:
                             lst.append(fb)
@@ -639,6 +673,17 @@ class CalliReaderEngine:
                     final.extend(lst)
                 results[owner] = final
         return results
+
+    def batch_sort_boxes(self, images: Sequence[np.ndarray], thres: float = 0.8,
+                         dets=None):
+        """sort_boxes over N pages with ONE detector forward and ONE
+        OrderFormer forward (pages that saturate the detector, >250 boxes,
+        fall back to the per-image iterative-masking path). Returns a list of
+        reading-ordered flat box lists. ``dets``: precomputed detect_fetch
+        output (pipelined callers)."""
+        if dets is None:
+            dets = self.detect_fetch(images, self.detect_dispatch(images))
+        return self.order_stage(self.columns_stage(images, dets, thres), thres)
 
     def batch_calli_align(
         self,
