@@ -50,7 +50,7 @@ DECODE_TOKENS = 256
 
 # BENCH_SMOKE=1: tiny-config CPU shakedown of the full measurement machinery
 # (pipeline schedule, convergence, JSON shape) — NOT a performance number.
-SMOKE = bool(os.environ.get("BENCH_SMOKE"))
+SMOKE = os.environ.get("BENCH_SMOKE", "") not in ("", "0")
 if SMOKE:
     BATCH, N_BATCHES, N_TTFT, DECODE_TOKENS = 2, 3, 2, 8
 CONVERGE_WINDOW = 3
@@ -187,14 +187,17 @@ def main():
             print("[bench] detector found <50 boxes; falling back to GT stub",
                   file=sys.stderr)
             use_real_det = False
-    of_ckpt = os.path.join(os.path.dirname(DET_CKPT), "orderformer.npz")
     of_mode = "random"
-    if os.path.exists(of_ckpt) and not SMOKE:
+    if not SMOKE:
         # trained reading-order regressor (scripts/train_orderformer.py);
         # same cost as random weights — this only makes the measured column
-        # ordering real
-        engine.params["orderformer"] = det_mod.load_npz(of_ckpt)
-        of_mode = "trained_ckpt"
+        # ordering real. The shared overlay helper arch-checks the ckpt.
+        from callireader_tpu.cli.common import _overlay_trained_assets
+
+        before = engine.params.get("orderformer")
+        _overlay_trained_assets(engine.params, cfg, {"orderformer"})
+        if engine.params.get("orderformer") is not before:
+            of_mode = "trained_ckpt"
 
     if not use_real_det:
         real_detector = engine.detector
@@ -252,7 +255,6 @@ def main():
     # order_stage): only the phases that read device memory (fetch, order)
     # must sit in the device-free gap; dispatch overlaps the decode it queues
     # behind, and the pure-host column clustering overlaps the next decode.
-    HAS_DISPATCH = hasattr(engine.detector, "dispatch")
     pages_list = [page] * BATCH
 
     def _timed(key, fn, *a):
@@ -327,43 +329,31 @@ def main():
     # device-free gap (the h2d bytes, host resizes, and dispatch RPCs all
     # hide under decode compute).
     engine.timings.spans.clear()
-    if HAS_DISPATCH:
-        state = {
-            "ordered": detect_boxes(),
-            "dets": _timed("box_fetch_nms", lambda: engine.detect_fetch(
-                pages_list, engine.detect_dispatch(pages_list))),
-        }
-        rows0 = build_batch(state["ordered"])
-        prev = launch(rows0)
-        state["handle"] = _timed(
-            "box_dispatch", engine.detect_dispatch, pages_list)
-    else:  # stub detector (GT mode): no async half; keep the gap schedule
-        state = {"ordered": detect_boxes()}
-        rows0 = build_batch(state["ordered"])
-        state["ordered"] = detect_boxes()  # device still free
-        prev = launch(rows0)
+    state = {"ordered": detect_boxes()}
+    state["dets"] = _timed(
+        "box_fetch_nms", engine.detect_fetch, pages_list,
+        _timed("box_dispatch", engine.detect_dispatch, pages_list))
+    rows0 = build_batch(state["ordered"])
+    prev = launch(rows0)
+    state["handle"] = _timed(
+        "box_dispatch", engine.detect_dispatch, pages_list)
     last = time.time()
 
     def pipeline_step():
         nonlocal prev, last
         rows = build_batch(state["ordered"])
-        if HAS_DISPATCH:
-            inter = _timed("box_columns", engine.columns_stage,
-                           pages_list, state["dets"])
+        inter = _timed("box_columns", engine.columns_stage,
+                       pages_list, state["dets"])
         sync(prev)
         now = time.time()
         iv = now - last
         last = now
-        if HAS_DISPATCH:
-            state["ordered"] = _timed("box_order", engine.order_stage, inter)
-            state["dets"] = _timed("box_fetch_nms", engine.detect_fetch,
-                                   pages_list, state["handle"])
-            prev = launch(rows)
-            state["handle"] = _timed(
-                "box_dispatch", engine.detect_dispatch, pages_list)
-        else:
-            state["ordered"] = detect_boxes()
-            prev = launch(rows)
+        state["ordered"] = _timed("box_order", engine.order_stage, inter)
+        state["dets"] = _timed("box_fetch_nms", engine.detect_fetch,
+                               pages_list, state["handle"])
+        prev = launch(rows)
+        state["handle"] = _timed(
+            "box_dispatch", engine.detect_dispatch, pages_list)
         return iv
 
     warm_iv = []

@@ -622,16 +622,17 @@ class CalliReaderEngine:
     def columns_stage(self, images: Sequence[np.ndarray], dets, thres: float = 0.8):
         """Phase C (pure host): int-truncate + IoU dedup + kmeans/merge
         column clustering. Pages that saturate the detector (>250 boxes)
-        fall back to the serial per-image masking path (device round trips —
-        in a pipelined caller this blocks behind any in-flight decode)."""
+        need the serial per-image masking path (device round trips), so they
+        are deferred to order_stage, which runs in the device-free gap."""
         results: List[Optional[List[List[float]]]] = [None] * len(images)
         pages = []
         page_owner = []
         char_boxes_per = [None] * len(images)
+        saturated = []
         for i, (img, flat) in enumerate(zip(images, dets)):
             if len(flat) > 250:
                 # saturated first pass: the masking loop is inherently serial
-                results[i] = self.sort_boxes(img, thres)
+                saturated.append((i, img))
                 continue
             h, w = img.shape[:2]
             # int-truncate before clipping, matching iterative_detect's
@@ -651,12 +652,18 @@ class CalliReaderEngine:
             page_owner.append(i)
             char_boxes_per[i] = char_boxes
         return {"results": results, "pages": pages, "page_owner": page_owner,
-                "char_boxes_per": char_boxes_per}
+                "char_boxes_per": char_boxes_per, "saturated": saturated,
+                "thres": thres}
 
     def order_stage(self, inter, thres: float = 0.8):
         """Phase D: one batched OrderFormer forward (device round trip) +
-        per-column y-sort -> reading-ordered flat box lists per page."""
+        per-column y-sort -> reading-ordered flat box lists per page. Also
+        runs the serial masking fallback for detector-saturated pages
+        deferred by columns_stage (device round trips belong here, in the
+        device-free gap, not overlapping a decode)."""
         results = inter["results"]
+        for i, img in inter.get("saturated", ()):
+            results[i] = self.sort_boxes(img, inter.get("thres", thres))
         if inter["pages"]:
             orders = orderformer.predict_batch(
                 self.params["orderformer"], self.cfg.orderformer, inter["pages"]

@@ -80,15 +80,21 @@ def main(argv=None):
     ref_out = None
     for impl in impls:
         out = encode(params, dev_tiles, impl)
-        got = np.asarray(out[0, 0, :4], np.float32)  # sync (block_until_ready
-        # lies through the tunnel)
+        # global moments over the FULL output (device-side reductions; a
+        # kernel bug anywhere — tail blocks, masking, other tiles — moves
+        # them), fetched as 3 scalars. The fetch is also the sync
+        # (block_until_ready lies through the tunnel).
+        o32 = out.astype(jnp.float32)
+        got = np.asarray(jnp.stack(
+            [jnp.mean(o32), jnp.mean(jnp.abs(o32)), jnp.max(jnp.abs(o32))]
+        ), np.float32)
         if args.attn_impl == "both":
             if ref_out is None:
                 ref_out = got
             else:
                 rel = float(np.max(np.abs(got - ref_out) / (np.abs(ref_out) + 1e-3)))
-                print(f"[bench_vit] impl outputs agree to rel {rel:.1e}",
-                      file=sys.stderr)
+                print(f"[bench_vit] impl output moments (mean/absmean/absmax) "
+                      f"agree to rel {rel:.1e}", file=sys.stderr)
         print(f"[bench_vit] warmup done ({impl or 'auto'})", file=sys.stderr)
 
         t0 = time.time()

@@ -252,7 +252,10 @@ def main(argv=None):
     p.add_argument("--eval-every", type=int, default=0,
                    help="evaluate held-out metrics every K epochs; with --out, "
                    "save the running params each time (crash-safe), and stop "
-                   "early once exact>=0.9 and tau>=0.99")
+                   "early once exact>=0.9 and tau>=0.99. NOTE: each K-epoch "
+                   "chunk restarts AdamW moments and the cosine schedule "
+                   "(warm restarts) — NOT equivalent to one --epochs run; "
+                   "the committed checkpoint was trained this way")
     args = p.parse_args(argv)
 
     import jax
