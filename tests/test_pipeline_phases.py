@@ -79,6 +79,40 @@ def test_pipeline_interleaving_with_stale_handles(engine):
         assert got[i] == want[i], f"chunk {i} diverged"
 
 
+def test_saturated_page_deferred_to_order_stage(engine):
+    """>250-box pages are deferred by columns_stage (pure host) and resolved
+    by the serial fallback inside order_stage (device-free gap), matching
+    batch_sort_boxes."""
+    imgs = _pages(5)
+    real = engine.detector
+
+    class Saturating:
+        def __call__(self, img):
+            return real(img)
+
+        def batch(self, images):
+            outs = real.batch(images)
+            rng = np.random.RandomState(0)
+            # first page: 251 spread-out boxes saturate the batch path
+            outs[0] = [
+                [float(x), float(y), float(x + 6), float(y + 6)]
+                for x, y in rng.randint(0, 60, (251, 2))
+            ]
+            return outs
+
+    try:
+        engine.detector = Saturating()
+        dets = engine.detect_fetch(imgs, engine.detect_dispatch(imgs))
+        inter = engine.columns_stage(imgs, dets)
+        assert [i for i, _ in inter["saturated"]] == [0]
+        assert inter["results"][0] is None  # unresolved until order_stage
+        phased = engine.order_stage(inter)
+        assert phased == engine.batch_sort_boxes(imgs)
+        assert phased[0] is not None
+    finally:
+        engine.detector = real
+
+
 def test_stub_detector_phases(engine):
     """Callables without dispatch (test/bench stubs) still work through the
     phased entry points via the eager fallback."""
