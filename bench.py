@@ -42,7 +42,7 @@ import time
 
 import numpy as np
 
-BATCH = 8
+BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # A/B knob; 8 is the default
 N_BATCHES = 12  # tunnel stalls hit ~1-2 intervals/run; a wider window keeps
 # the median/IQR anchored on the pipeline, not the stall
 N_TTFT = 5
