@@ -26,7 +26,10 @@ from callireader_tpu.core.config import LLMConfig
 from callireader_tpu.core.dtypes import DTypePolicy, DEFAULT_POLICY
 from callireader_tpu.models import internlm2
 
-PROMPT_BUCKETS = (128, 256, 512, 1024, 2048, 3072, 4096, 6144, 8192)
+# 3584 exists for the flagship OCR shape: a full 11-tile page + ~110 chars x 3
+# pseudo tokens lands at ~3.2k ids, which otherwise pads 28% into 4096 (prefill
+# FLOPs + decode-step KV reads both scale with the bucket).
+PROMPT_BUCKETS = (128, 256, 512, 1024, 2048, 3072, 3584, 4096, 6144, 8192)
 
 
 def bucket_length(n: int, buckets: Sequence[int] = PROMPT_BUCKETS) -> int:
