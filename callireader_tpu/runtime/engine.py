@@ -38,7 +38,7 @@ from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer
 from callireader_tpu.vision import boxes as boxes_mod
 from callireader_tpu.vision import preprocess
 
-CHAR_BUCKETS = (8, 16, 32, 64, 128, 192, 256)
+CHAR_BUCKETS = (8, 16, 32, 64, 96, 128, 192, 256)
 IMG_START, IMG_END, IMG_CONTEXT = "<img>", "</img>", "<IMG_CONTEXT>"
 ALIGNED = "[UNUSED_TOKEN_140]"
 
@@ -309,7 +309,10 @@ class CalliReaderEngine:
     # vision helpers
     # ------------------------------------------------------------------
 
-    BATCH_TILE_BUCKETS = (26, 52, 104, 208)
+    # 13-per-page ladder with half-steps: a batch of 8 full pages (8 x 11
+    # tiles = 88) pads to 91, not 104 — unused shapes never compile, so the
+    # finer ladder costs nothing until a workload actually hits it
+    BATCH_TILE_BUCKETS = (26, 39, 52, 65, 78, 91, 104, 156, 208)
 
     def encode_image_tiles(self, tiles) -> jax.Array:
         """Run ViT+projector over a (N,H,W,C) tile stack, bucket-padded.
