@@ -158,7 +158,13 @@ def main():
 
     params = init_all_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
-    engine = CalliReaderEngine(cfg, params, tok, use_flash=on_tpu)
+    # BENCH_DEVICE_TILES=1: ship raw pages (4.7 MB each) and tile on device
+    # instead of host-PIL tiling + 53 MB/batch tiled h2d (A/B knob; the CLIs
+    # default to device tiling, the bench keeps the measured-best default)
+    device_tiles = os.environ.get("BENCH_DEVICE_TILES", "") not in ("", "0")
+    engine = CalliReaderEngine(
+        cfg, params, tok, use_flash=on_tpu, device_tile_pages=device_tiles,
+    )
 
     page, gt_flat, page_source = load_page()
 
