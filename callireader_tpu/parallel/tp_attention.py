@@ -29,10 +29,10 @@ def tp_active(mesh: Optional[Mesh]) -> bool:
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):
-    from jax.experimental.shard_map import shard_map
-
-    return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                     check_rep=False)
+    # check_vma=False: the Pallas kernel body is opaque to the varying-mesh
+    # analysis (same reason the old API needed check_rep=False)
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                         check_vma=False)
 
 
 def flash_attention_tp(
