@@ -168,8 +168,11 @@ def forward(
             # ViT rows are short (448px tile -> S=1025): one head's K/V fits
             # VMEM, so the single-pass kernel is eligible (no online-softmax
             # state, no lane-misaligned head slicing; vit_attention.py
-            # header). TODO(tpu-ab): flip real-TPU auto to single_pass once
-            # the fused-loop A/B on hardware confirms the win.
+            # header). Fused-loop A/B on v5e (scripts/bench_vit.py
+            # --attn-impl both, 64 tiles): packed 192.2 tiles/s vs
+            # single_pass 187.6 — packed stays the real-TPU default; the
+            # single-pass kernel remains the interpret-mode choice (no
+            # scratch-lane semantics to emulate) and an explicit override.
             attn_impl = "single_pass"
         else:
             attn_impl = "packed"
