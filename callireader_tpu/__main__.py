@@ -36,9 +36,10 @@ Where MODE is one of {MODES}
        python -m callireader_tpu convert merge --checkpoint ... --out ...
        python -m callireader_tpu convert split SRC DST --max-shard-size 2GB
        python -m callireader_tpu convert consolidate SRC DST --dtype bfloat16
-  5. Chat / batch serve:
+  5. Chat / batch serve / HTTP serve:
        python -m callireader_tpu chat --image x.jpg "读出图中所有文字。"
        python -m callireader_tpu serve --input req.jsonl --output out.jsonl
+       python -m callireader_tpu serve --http 8000   # OpenAI-compatible API
   6. Inference / CalliBench / MMBench / judge:
        python -m callireader_tpu inference --image_path x.jpg
        python -m callireader_tpu evaluate --task full_page --parquet ...

@@ -23,9 +23,18 @@ import time
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser(description="JSONL batch server")
-    parser.add_argument("--input", type=str, required=True)
-    parser.add_argument("--output", type=str, required=True)
+    parser = argparse.ArgumentParser(description="JSONL batch / HTTP server")
+    parser.add_argument("--input", type=str, default=None,
+                        help="JSONL request file (batch mode)")
+    parser.add_argument("--output", type=str, default=None,
+                        help="JSONL response file (batch mode)")
+    parser.add_argument("--http", type=int, default=None, metavar="PORT",
+                        help="serve HTTP instead of JSONL batch: OpenAI-"
+                        "compatible POST /v1/chat/completions (stream + "
+                        "non-stream), native POST /ocr, GET /health|/metrics "
+                        "(runtime/http_server.py)")
+    parser.add_argument("--host", type=str, default="127.0.0.1",
+                        help="HTTP bind address (with --http)")
     parser.add_argument("--slots", type=int, default=8)
     parser.add_argument("--max-len", type=int, default=4096)
     parser.add_argument(
@@ -65,6 +74,9 @@ def main(argv=None):
     args = parser.parse_args(argv)
     if getattr(args, "gray_chars", False) and args.rgb_chars:
         parser.error("--gray-chars and --rgb-chars are mutually exclusive")
+    if args.http is None and (args.input is None or args.output is None):
+        parser.error("--input/--output are required in JSONL batch mode "
+                     "(or pass --http PORT)")
 
     import numpy as np
 
@@ -104,6 +116,24 @@ def main(argv=None):
             policy=engine.policy, use_flash=engine.use_flash,
             steps_per_sync=args.steps_per_sync, mesh=engine.mesh,
         )
+
+    if args.http is not None:
+        from callireader_tpu.runtime.http_server import serve_http
+
+        server, loop = serve_http(
+            engine, batcher, host=args.host, port=args.http,
+            model_name=args.preset, default_rep_pen=args.repetition_penalty,
+        )
+        print(f"[serve] HTTP on http://{args.host}:{args.http} "
+              f"(slots={args.slots}, paged={args.paged})", file=sys.stderr)
+        try:
+            server.serve_forever()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            loop.shutdown()
+            server.server_close()
+        return
 
     requests = [json.loads(l) for l in open(args.input, encoding="utf-8") if l.strip()]
     t0 = time.time()
