@@ -37,6 +37,37 @@ def test_dedup_boxes_iou():
     assert len(out) == 2
 
 
+def test_dedup_vectorized_equals_reference_loop():
+    """The vectorized greedy dedup must reproduce the reference's
+    pop-in-place loop (modeling_internvl_chat.py:374-392) box-for-box,
+    including on dense duplicate clusters, chains (A~B, B~C, A!~C),
+    degenerate zero-area boxes, and every threshold regime."""
+    rng = np.random.RandomState(7)
+    for trial in range(200):
+        n = rng.randint(0, 40)
+        base = rng.uniform(0, 300, (max(n, 1), 2))
+        wh = rng.uniform(1, 60, (max(n, 1), 2))
+        bxs = []
+        for i in range(n):
+            x0, y0 = base[i]
+            w, h = wh[i]
+            bxs.append([[x0, y0], [x0 + w, y0 + h]])
+            # half the time add a near-duplicate / chained jitter copy
+            if rng.rand() < 0.5:
+                d = rng.uniform(0, w * 0.3)
+                bxs.append([[x0 + d, y0], [x0 + w + d, y0 + h]])
+        if rng.rand() < 0.2 and bxs:  # degenerate zero-area
+            x0, y0 = rng.uniform(0, 300, 2)
+            bxs.append([[x0, y0], [x0, y0]])
+        rng.shuffle(bxs)
+        thr = rng.choice([0.0, 0.3, 0.8, 0.95])
+        import copy
+
+        fast = boxes.dedup_boxes_iou(copy.deepcopy(bxs), thr)
+        slow = boxes._dedup_boxes_iou_loop(copy.deepcopy(bxs), thr)
+        assert fast == slow, f"trial {trial}: {len(fast)} vs {len(slow)}"
+
+
 def test_most_frequent_rgb():
     img = np.zeros((4, 4, 3), np.uint8)
     img[0, 0] = [1, 2, 3]
