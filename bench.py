@@ -42,7 +42,9 @@ import time
 
 import numpy as np
 
-BATCH = int(os.environ.get("BENCH_BATCH", "8"))  # A/B knob; 8 is the default
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))  # A/B knob. Measured ladder
+# on v5e (device tiles on): b8 0.92, b16 1.01 imgs/s, b24 OOM — decode HBM
+# traffic amortizes over the batch until the KV+activation budget runs out
 N_BATCHES = 12  # tunnel stalls hit ~1-2 intervals/run; a wider window keeps
 # the median/IQR anchored on the pipeline, not the stall
 N_TTFT = 5
@@ -158,10 +160,12 @@ def main():
 
     params = init_all_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
-    # BENCH_DEVICE_TILES=1: ship raw pages (4.7 MB each) and tile on device
-    # instead of host-PIL tiling + 53 MB/batch tiled h2d (A/B knob; the CLIs
-    # default to device tiling, the bench keeps the measured-best default)
-    device_tiles = os.environ.get("BENCH_DEVICE_TILES", "") not in ("", "0")
+    # Device tiling (default ON): ship raw pages (4.7 MB each) and tile on
+    # device instead of host-PIL tiling + 53 MB/batch tiled h2d. Measured on
+    # v5e at b8: 0.92 imgs/s spread 0.002 vs host tiling 0.85 spread 0.25 —
+    # fewer tunnel bytes kills the transfer stalls that fattened the IQR.
+    # BENCH_DEVICE_TILES=0 reverts to host tiling (A/B knob).
+    device_tiles = os.environ.get("BENCH_DEVICE_TILES", "1") not in ("", "0")
     engine = CalliReaderEngine(
         cfg, params, tok, use_flash=on_tpu, device_tile_pages=device_tiles,
     )
@@ -334,18 +338,19 @@ def main():
 
     # ---- 3. throughput: pipeline to convergence, then measure ----
     # Schedule per interval (one generate in flight):
-    #   build(N+1)    — async char/tile/embed dispatches overlap decode N
-    #   columns(N+2)  — pure-host dedup/kmeans/merge overlaps decode N
-    #   sync(N)       — decode N retires
-    #   order(N+2)    — OrderFormer round trip in the device-free gap
-    #   fetch(N+3)    — small detector d2h + NMS in the device-free gap
+    #   build(N+1)     — async char/tile/embed dispatches overlap decode N
+    #   columns(N+2)   — pure-host dedup/kmeans/merge overlaps decode N
+    #   odispatch(N+2) — OrderFormer forward queued behind decode N (async)
+    #   sync(N)        — decode N retires
+    #   ofetch(N+2)    — tiny OrderFormer score d2h in the device-free gap
+    #   fetch(N+3)     — small detector d2h + NMS in the device-free gap
     #   launch(N+1)
-    #   dispatch(N+4) — letterbox + h2d + detector forward, queues behind
-    #                   decode N+1 (no readback, so it never blocks the host)
+    #   dispatch(N+4)  — letterbox + h2d + detector forward, queues behind
+    #                    decode N+1 (no readback, so it never blocks the host)
     # Detection therefore runs FOUR batches ahead of its decode; only the
-    # ~1 MB anchor readback and the tiny OrderFormer round trip occupy the
-    # device-free gap (the h2d bytes, host resizes, and dispatch RPCs all
-    # hide under decode compute).
+    # ~1 MB anchor readback and the OrderFormer score readback occupy the
+    # device-free gap (the h2d bytes, host resizes, dispatch RPCs, and both
+    # model forwards all hide under decode compute).
     engine.timings.spans.clear()
     state = {"ordered": detect_boxes()}
     state["dets"] = _timed(
@@ -360,13 +365,15 @@ def main():
     def pipeline_step():
         nonlocal prev, last
         rows = build_batch(state["ordered"])
-        inter = _timed("box_columns", engine.columns_stage,
-                       pages_list, state["dets"])
+        odisp = _timed(
+            "box_order_dispatch", engine.order_dispatch,
+            _timed("box_columns", engine.columns_stage,
+                   pages_list, state["dets"]))
         sync(prev)
         now = time.time()
         iv = now - last
         last = now
-        state["ordered"] = _timed("box_order", engine.order_stage, inter)
+        state["ordered"] = _timed("box_order_fetch", engine.order_fetch, odisp)
         state["dets"] = _timed("box_fetch_nms", engine.detect_fetch,
                                pages_list, state["handle"])
         prev = launch(rows)

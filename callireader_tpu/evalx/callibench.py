@@ -77,10 +77,10 @@ def _ocr_task(
         # the engine.batch_build_rows / batch_prepare(prepared_rows=...) /
         # batch_decode split). The box stage is phased like bench.py: the
         # tunnel/runtime serializes d2h readbacks behind a running program,
-        # so only engine.detect_fetch (anchor readback) and order_stage
-        # (OrderFormer round trip) sit in the device-free gap after each
-        # decode retires; detect_dispatch queues behind the just-launched
-        # decode and columns_stage (pure host) overlaps it. Steady-state
+        # so only engine.detect_fetch (anchor readback) and order_fetch
+        # (OrderFormer score readback) sit in the device-free gap after each
+        # decode retires; detect_dispatch and order_dispatch queue behind the
+        # in-flight decode and columns_stage (pure host) overlaps it. Steady-state
         # invariants at iteration i (decode i-1 in flight): ordered[i]
         # ready, dets[i+1] ready, handle[i+2] dispatched.
         from callireader_tpu.vision import preprocess
@@ -126,13 +126,16 @@ def _ocr_task(
                 **row_kw
             )
             imgs.pop(i, None)
-            inter = None
-            if use_p and i + 1 < K:  # pure host, overlaps the in-flight decode
-                inter = engine.columns_stage(get_imgs(i + 1), dets.pop(i + 1))
+            odisp = None
+            if use_p and i + 1 < K:
+                # pure host, overlaps the in-flight decode; the OrderFormer
+                # forward then queues behind it (async dispatch, no readback)
+                odisp = engine.order_dispatch(
+                    engine.columns_stage(get_imgs(i + 1), dets.pop(i + 1)))
             if prepared is not None:  # decode i-1 retires
                 responses.extend(t2s(r) for r in engine.batch_decode(prepared))
-            if inter is not None:  # device-free gap
-                ordered[i + 1] = engine.order_stage(inter)
+            if odisp is not None:  # device-free gap: score readback only
+                ordered[i + 1] = engine.order_fetch(odisp)
             if use_p and i + 2 < K:
                 dets[i + 2] = engine.detect_fetch(get_imgs(i + 2),
                                                   handle.pop(i + 2))

@@ -194,13 +194,12 @@ def predict(
     return predict_batch(params, cfg, [(shapes, image_width, image_height)])[0]
 
 
-def predict_batch(
-    params: Params,
-    cfg: OrderFormerConfig,
-    pages: List,  # [(shapes, image_width, image_height), ...]
-) -> List[Dict[int, List[float]]]:
-    """One forward for N pages' column sets (amortizes the dispatch; the
-    model already takes (B, max_boxes, input_dim))."""
+def predict_batch_dispatch(params: Params, cfg: OrderFormerConfig, pages: List):
+    """Phase 1 of predict_batch: host input prep + ONE async jitted forward.
+    No readback — the returned handle holds a device ref, so the call never
+    blocks the host and the forward queues behind whatever is already in
+    flight (a pipelined caller dispatches this under an in-flight decode and
+    pays only the tiny d2h in the device-free gap)."""
     rows, metas = [], []
     for shapes, w, h in pages:
         if not shapes:
@@ -209,9 +208,18 @@ def predict_batch(
         row, labels = _prep_inputs(cfg, shapes, w, h)
         metas.append((len(rows), labels, w, h))
         rows.append(row)
-    if not rows:
-        return [{} for _ in pages]
-    scores = np.asarray(forward(params, cfg, jnp.asarray(np.stack(rows))))
+    scores_dev = (
+        forward(params, cfg, jnp.asarray(np.stack(rows))) if rows else None
+    )
+    return scores_dev, metas, len(pages)
+
+
+def predict_batch_fetch(handle) -> List[Dict[int, List[float]]]:
+    """Phase 2: the (B, max_boxes, 1)-score readback + rank decode."""
+    scores_dev, metas, n_pages = handle
+    if scores_dev is None:
+        return [{} for _ in range(n_pages)]
+    scores = np.asarray(scores_dev)
     out = []
     for meta in metas:
         if meta is None:
@@ -220,6 +228,16 @@ def predict_batch(
         i, labels, w, h = meta
         out.append(_decode_result(scores[i], labels, w, h))
     return out
+
+
+def predict_batch(
+    params: Params,
+    cfg: OrderFormerConfig,
+    pages: List,  # [(shapes, image_width, image_height), ...]
+) -> List[Dict[int, List[float]]]:
+    """One forward for N pages' column sets (amortizes the dispatch; the
+    model already takes (B, max_boxes, input_dim))."""
+    return predict_batch_fetch(predict_batch_dispatch(params, cfg, pages))
 
 
 # ---------------------------------------------------------------------------

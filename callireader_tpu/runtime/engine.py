@@ -658,19 +658,29 @@ class CalliReaderEngine:
                 "char_boxes_per": char_boxes_per, "saturated": saturated,
                 "thres": thres}
 
-    def order_stage(self, inter, thres: float = 0.8):
-        """Phase D: one batched OrderFormer forward (device round trip) +
-        per-column y-sort -> reading-ordered flat box lists per page. Also
-        runs the serial masking fallback for detector-saturated pages
-        deferred by columns_stage (device round trips belong here, in the
-        device-free gap, not overlapping a decode)."""
+    def order_dispatch(self, inter):
+        """Phase D1 (async): host-prep the column sets and QUEUE the batched
+        OrderFormer forward — no readback, so it never blocks the host and
+        the forward rides behind an in-flight decode. Saturated pages stay
+        deferred (their serial masking round trips belong in the fetch
+        phase, inside the device-free gap)."""
+        handle = None
+        if inter["pages"]:
+            handle = orderformer.predict_batch_dispatch(
+                self.params["orderformer"], self.cfg.orderformer, inter["pages"]
+            )
+        return {"inter": inter, "handle": handle}
+
+    def order_fetch(self, st, thres: float = 0.8):
+        """Phase D2: the tiny score readback + per-column y-sort -> reading-
+        ordered flat box lists per page; also resolves detector-saturated
+        pages via the serial fallback."""
+        inter = st["inter"]
         results = inter["results"]
         for i, img in inter.get("saturated", ()):
             results[i] = self.sort_boxes(img, inter.get("thres", thres))
-        if inter["pages"]:
-            orders = orderformer.predict_batch(
-                self.params["orderformer"], self.cfg.orderformer, inter["pages"]
-            )
+        if st["handle"] is not None:
+            orders = orderformer.predict_batch_fetch(st["handle"])
             for owner, col_order in zip(inter["page_owner"], orders):
                 final: List[List[float]] = []
                 for _, col in col_order.items():
@@ -683,6 +693,13 @@ class CalliReaderEngine:
                     final.extend(lst)
                 results[owner] = final
         return results
+
+    def order_stage(self, inter, thres: float = 0.8):
+        """Phase D (= D1+D2 back-to-back): batched OrderFormer forward +
+        readback + per-column y-sort. Pipelined callers split the phases
+        around their decode sync (bench.py, evalx/callibench.py) so only D2
+        occupies the device-free gap."""
+        return self.order_fetch(self.order_dispatch(inter), thres)
 
     def batch_sort_boxes(self, images: Sequence[np.ndarray], thres: float = 0.8,
                          dets=None):

@@ -51,6 +51,25 @@ def test_phases_compose_to_batch_sort_boxes(engine):
     assert any(len(p) > 0 for p in direct)  # non-degenerate
 
 
+def test_order_dispatch_fetch_split_parity(engine):
+    """order_dispatch/order_fetch (async OrderFormer forward queued behind
+    other work, readback later) == order_stage, including with unrelated
+    device programs and another chunk's phases between dispatch and fetch."""
+    imgs_a, imgs_b = _pages(7), _pages(8)
+    dets_a = engine.detect_fetch(imgs_a, engine.detect_dispatch(imgs_a))
+    dets_b = engine.detect_fetch(imgs_b, engine.detect_dispatch(imgs_b))
+    want_a = engine.order_stage(engine.columns_stage(imgs_a, dets_a))
+    want_b = engine.order_stage(engine.columns_stage(imgs_b, dets_b))
+
+    od_a = engine.order_dispatch(engine.columns_stage(imgs_a, dets_a))
+    # interleave: another chunk's full box stage + an unrelated program
+    od_b = engine.order_dispatch(engine.columns_stage(imgs_b, dets_b))
+    _ = np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))
+    assert engine.order_fetch(od_b) == want_b
+    assert engine.order_fetch(od_a) == want_a
+    assert any(len(p) > 0 for p in want_a)
+
+
 def test_pipeline_interleaving_with_stale_handles(engine):
     """Drive three chunks in the bench's steady-state phase order: a chunk's
     handle stays outstanding while other chunks' fetch/columns/order phases
