@@ -166,8 +166,12 @@ def main():
     # fewer tunnel bytes kills the transfer stalls that fattened the IQR.
     # BENCH_DEVICE_TILES=0 reverts to host tiling (A/B knob).
     device_tiles = os.environ.get("BENCH_DEVICE_TILES", "1") not in ("", "0")
+    # BENCH_CHAR_CANVAS=364: the char-ViT canvas FLOP lever (A/B knob;
+    # default = reference 448 canvas — the headline stays parity-workload)
+    char_canvas = int(os.environ.get("BENCH_CHAR_CANVAS", "0")) or None
     engine = CalliReaderEngine(
         cfg, params, tok, use_flash=on_tpu, device_tile_pages=device_tiles,
+        char_canvas=char_canvas,
     )
 
     page, gt_flat, page_source = load_page()
@@ -436,6 +440,7 @@ def main():
                     "orderformer": of_mode,
                     "chars_per_image": int(n_chars),
                     "tiles_per_image": int(n_tiles),
+                    "char_canvas": int(engine.char_canvas),
                     "decode_tokens": DECODE_TOKENS,
                     "stages": [
                         "dynamic_tiling", "vit_projector", "detector_forward",

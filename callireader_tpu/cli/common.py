@@ -67,6 +67,7 @@ def build_engine(
     gray_chars: bool = True,
     device_resize_chars: bool = True,
     device_tile_pages: bool = True,
+    char_canvas: Optional[int] = None,
     mesh_spec: Optional[str] = None,
     trained_assets: bool = True,
 ) -> CalliReaderEngine:
@@ -175,5 +176,6 @@ def build_engine(
     return CalliReaderEngine(
         cfg, params, tok, gray_chars=gray_chars,
         device_resize_chars=device_resize_chars,
-        device_tile_pages=device_tile_pages, mesh=mesh,
+        device_tile_pages=device_tile_pages, char_canvas=char_canvas,
+        mesh=mesh,
     )

@@ -69,6 +69,8 @@ def main(argv=None):
                         "harness, so its default stays host-PIL tiling "
                         "(bit-identical to the reference); serve/inference/"
                         "bench default to device tiling")
+    parser.add_argument("--char-canvas", type=int, default=None,
+                        help="char-ViT canvas size (default: the model's 448). 364 keeps the [200,350] content scale identical but trims the white margin: ~40%% fewer char-encode FLOPs, near- but not bit-parity CalliAlign outputs (docs/PERF.md)")
     parser.add_argument("--no-trained-assets", action="store_true",
                         help="skip the in-repo trained detector/orderformer overlays")
     args = parser.parse_args(argv)
@@ -88,7 +90,7 @@ def main(argv=None):
         preset=args.preset, checkpoint_dir=args.checkpoint, random_init_ok=args.random_init,
         quant=args.quant, adapter_path=args.adapter, gray_chars=args.gray_chars,
         device_resize_chars=args.device_resize_chars,
-        device_tile_pages=args.device_tile_pages, mesh_spec=args.mesh,
+        device_tile_pages=args.device_tile_pages, char_canvas=args.char_canvas, mesh_spec=args.mesh,
         trained_assets=not args.no_trained_assets,
     )
     if args.batch_size is None:

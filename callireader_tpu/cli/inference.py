@@ -65,6 +65,8 @@ def main(argv=None):
                         help="orbax e-IT checkpoint dir (LoRA+mlp1) to merge before serving")
     parser.add_argument("--mesh", type=str, default=None,
                         help='SPMD inference mesh, e.g. "tensor=4,fsdp=2"')
+    parser.add_argument("--char-canvas", type=int, default=None,
+                        help="char-ViT canvas size (default: the model's 448). 364 keeps the [200,350] content scale identical but trims the white margin: ~40%% fewer char-encode FLOPs, near- but not bit-parity CalliAlign outputs (docs/PERF.md)")
     parser.add_argument("--no-trained-assets", action="store_true",
                         help="skip the in-repo trained detector/orderformer overlays")
     args = parser.parse_args(argv)
@@ -76,7 +78,7 @@ def main(argv=None):
 
     engine = build_engine(
         preset=args.preset, checkpoint_dir=args.checkpoint, random_init_ok=args.random_init,
-        quant=args.quant, adapter_path=args.adapter, mesh_spec=args.mesh,
+        quant=args.quant, adapter_path=args.adapter, char_canvas=args.char_canvas, mesh_spec=args.mesh,
         trained_assets=not args.no_trained_assets,
     )
 

@@ -73,6 +73,8 @@ def main(argv=None):
                         help='SPMD inference mesh, e.g. "tensor=4,fsdp=2" — '
                         "shards params + KV cache over all local devices "
                         "(required for callireader-8b bf16)")
+    parser.add_argument("--char-canvas", type=int, default=None,
+                        help="char-ViT canvas size (default: the model's 448). 364 keeps the [200,350] content scale identical but trims the white margin: ~40%% fewer char-encode FLOPs, near- but not bit-parity CalliAlign outputs (docs/PERF.md)")
     parser.add_argument("--no-trained-assets", action="store_true",
                         help="skip the in-repo trained detector/orderformer overlays")
     args = parser.parse_args(argv)
@@ -95,7 +97,7 @@ def main(argv=None):
         preset=args.preset, checkpoint_dir=args.checkpoint,
         random_init_ok=args.random_init, quant=args.quant,
         gray_chars=not args.rgb_chars,
-        device_tile_pages=args.device_tile_pages, mesh_spec=args.mesh,
+        device_tile_pages=args.device_tile_pages, char_canvas=args.char_canvas, mesh_spec=args.mesh,
         trained_assets=not args.no_trained_assets,
     )
     cfg = engine.cfg

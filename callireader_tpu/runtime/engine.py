@@ -99,6 +99,7 @@ class CalliReaderEngine:
         gray_chars: bool = True,
         device_resize_chars: bool = True,
         device_tile_pages: bool = False,
+        char_canvas: Optional[int] = None,
         mesh=None,
     ):
         self.mesh = mesh
@@ -149,6 +150,28 @@ class CalliReaderEngine:
         # host path is additionally bit-exact with the reference's PIL
         # tiling; jax cubic+antialias is near- but not bit-identical.
         self.device_tile_pages = device_tile_pages
+        # Opt-in FLOP lever: the white canvas the char ViT runs on. The
+        # reference scales char content into [200,350] and pastes it on a
+        # 448 canvas (utils/utils.py:420-452) — at 448, 34% of the char
+        # ViT's tokens are constant white margin. A 364 canvas (26x26
+        # patches, grid still even for the 0.5 pixel-shuffle) keeps the
+        # content scale IDENTICAL and cuts char-encode FLOPs ~40% (1025 ->
+        # 677 tokens + quadratic attention), at the cost of the resampler
+        # seeing 169 instead of 256 projected tokens — near- but not
+        # bit-parity with reference CalliAlign outputs, so default OFF.
+        canvas = char_canvas or cfg.force_image_size
+        if canvas != cfg.force_image_size:
+            patch = cfg.vision.patch_size
+            if canvas % patch or (canvas // patch) % 2:
+                raise ValueError(
+                    f"char_canvas {canvas} must be a multiple of "
+                    f"{2 * patch} (even patch grid for pixel-shuffle)")
+            content_hi = preprocess.char_content_canvas(cfg.force_image_size)
+            if canvas < content_hi:
+                raise ValueError(
+                    f"char_canvas {canvas} cannot hold the [200,{content_hi}] "
+                    f"char content scale")
+        self.char_canvas = canvas
         self.use_flash = (
             use_flash if use_flash is not None else jax.devices()[0].platform == "tpu"
         )
@@ -187,9 +210,11 @@ class CalliReaderEngine:
     def _vision_encode_chars_impl(self, params, content_uint8):
         """(N, canvas, canvas, 3) uint8 char content — or (N, canvas, canvas)
         single-channel luma when gray_chars — -> features. The white
-        448-canvas margin is constant, so it is synthesized on-device instead
-        of shipped over the host link (vision/preprocess.load_char_content)."""
-        size = self.cfg.force_image_size
+        canvas margin is constant, so it is synthesized on-device instead
+        of shipped over the host link (vision/preprocess.load_char_content).
+        The pad target is self.char_canvas (= force_image_size unless the
+        char-canvas FLOP lever is engaged)."""
+        size = self.char_canvas
         canvas = content_uint8.shape[1]
         pad = (size - canvas) // 2
         spatial = ((0, 0), (pad, size - canvas - pad), (pad, size - canvas - pad))
@@ -223,12 +248,13 @@ class CalliReaderEngine:
 
     def _char_pipeline_raw_impl(self, params, raw, src_hw, tgt_hw, hard_vq=False):
         """RAW crop bytes -> on-device bicubic [200,350] scale + white
-        448 canvas (vision/device_resize.py) -> ViT -> resampler -> VQ, one
-        dispatch. ~10x fewer h2d bytes than shipping content canvases."""
+        canvas (vision/device_resize.py, target self.char_canvas) -> ViT ->
+        resampler -> VQ, one dispatch. ~10x fewer h2d bytes than shipping
+        content canvases."""
         from callireader_tpu.vision import device_resize
 
         canvas = device_resize.bicubic_canvas(
-            raw, src_hw, tgt_hw, self.cfg.force_image_size
+            raw, src_hw, tgt_hw, self.char_canvas
         )
         if canvas.ndim == 3:  # luma -> RGB on device
             canvas = jnp.broadcast_to(canvas[..., None], (*canvas.shape, 3))

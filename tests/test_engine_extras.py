@@ -379,3 +379,54 @@ def test_device_tile_pages_close_to_host(engine):
         engine.cfg.max_dynamic_patch, engine.cfg.use_thumbnail, as_uint8=True,
     ).shape[0]
     assert c * r + 1 == n_host
+
+
+def test_char_canvas_lever():
+    """The char-canvas FLOP lever: a non-default canvas (tiny: 84 vs 56;
+    flagship analog: 364 vs 448) keeps the [200,350]-equivalent content
+    scale and the (N, n_learns) pseudo-token contract, on both the
+    device-resize and host-content char paths, batched == per-image."""
+    params = init_all_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
+    det = lambda img: [
+        [8.0, 8.0, 24.0, 24.0], [8.0, 33.0, 24.0, 49.0], [33.0, 18.0, 49.0, 34.0]
+    ]
+    eng84 = CalliReaderEngine(
+        CFG, params, tok, policy=FP32_POLICY, use_flash=False, char_canvas=84,
+    )
+    eng84.detector = det
+    img = np.asarray(_img(1))
+    ps, ix = eng84.calli_align(img)
+    L = CFG.resampler.num_learns
+    assert ps.shape == (3 * L, CFG.llm.hidden_size)
+    assert ix.shape == (3, L)
+    assert np.isfinite(np.asarray(ps)).all()
+    # batched front end agrees with per-image on the non-default canvas
+    (bp, bi), = eng84.batch_calli_align([img])
+    np.testing.assert_allclose(np.asarray(bp), np.asarray(ps), rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(bi), np.asarray(ix))
+    # host-content path (device_resize_chars=False) accepts the canvas too
+    eng_host = CalliReaderEngine(
+        CFG, params, tok, policy=FP32_POLICY, use_flash=False,
+        char_canvas=84, device_resize_chars=False,
+    )
+    eng_host.detector = det
+    ps_h, ix_h = eng_host.calli_align(img)
+    assert ps_h.shape == ps.shape and ix_h.shape == ix.shape
+    # canvas produces DIFFERENT features than the default (it is a real
+    # approximation lever, not a no-op)
+    eng_def = CalliReaderEngine(
+        CFG, params, tok, policy=FP32_POLICY, use_flash=False,
+    )
+    eng_def.detector = det
+    ps_d, _ = eng_def.calli_align(img)
+    assert not np.allclose(np.asarray(ps_d), np.asarray(ps), atol=1e-5)
+
+
+def test_char_canvas_validation():
+    params = init_all_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
+    with pytest.raises(ValueError):  # odd patch grid (70/14 = 5)
+        CalliReaderEngine(CFG, params, tok, use_flash=False, char_canvas=70)
+    with pytest.raises(ValueError):  # cannot hold the content scale
+        CalliReaderEngine(CFG, params, tok, use_flash=False, char_canvas=28)
