@@ -149,16 +149,31 @@ def main():
     from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer
     from callireader_tpu.vision import preprocess
 
+    # BENCH_PRESET / BENCH_QUANT: run the pipeline at another scale — e.g.
+    # BENCH_PRESET=callireader-8b BENCH_QUANT=int8 BENCH_BATCH=4 measures the
+    # TRUE 32-layer flagship on one 16 GB chip (int8 LLM init'd leaf-by-leaf
+    # on device; bf16 would OOM). Default stays the 2b headline config.
+    preset = os.environ.get("BENCH_PRESET", "")
+    quant = os.environ.get("BENCH_QUANT", "")
     if SMOKE:
         from callireader_tpu.core.config import callireader_tiny
 
         cfg = callireader_tiny()
+    elif preset:
+        from callireader_tpu.core.config import get_config
+
+        cfg = get_config(preset)
     else:
         cfg = callireader_2b()
     on_tpu = jax.devices()[0].platform != "cpu"
-    print(f"[bench] platform={jax.devices()[0].platform}", file=sys.stderr)
+    print(f"[bench] platform={jax.devices()[0].platform}"
+          + (f" preset={preset} quant={quant}" if preset or quant else ""),
+          file=sys.stderr)
 
-    params = init_all_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    params = init_all_params(
+        jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
+        llm_int8=(quant == "int8"),
+    )
     tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
     # Device tiling (default ON): ship raw pages (4.7 MB each) and tile on
     # device instead of host-PIL tiling + 53 MB/batch tiled h2d. Measured on
@@ -435,6 +450,8 @@ def main():
                 "warmup_s": round(warmup_s, 1),
                 "workload": {
                     "batch": BATCH,
+                    "preset": preset or ("tiny" if SMOKE else "callireader-2b"),
+                    "quant": quant or "bf16",
                     "page": page_source,
                     "detector": det_mode,
                     "orderformer": of_mode,

@@ -57,15 +57,25 @@ def _reorder_char_parts(parts_ps, parts_ix, perm, ns, n_learns):
     return ps[perm].reshape(-1, E), ix[perm]
 
 
-def init_all_params(key: jax.Array, cfg: VLMConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
+def init_all_params(
+    key: jax.Array, cfg: VLMConfig, dtype=jnp.bfloat16, *, llm_int8: bool = False
+) -> Dict[str, Any]:
     """Random-init the full engine pytree (used for tests/benchmarks; real
-    deployments load via runtime.weights.convert_reference_checkpoint)."""
+    deployments load via runtime.weights.convert_reference_checkpoint).
+    ``llm_int8``: init the LLM directly as int8+scales, leaf by leaf — the
+    only way a random 8B fits one 16 GB chip (runtime/quantize.py)."""
     from callireader_tpu.models import internlm2
 
     ks = jax.random.split(key, 7)
     V, E = cfg.llm.vocab_size, cfg.llm.hidden_size
+    if llm_int8:
+        from callireader_tpu.runtime.quantize import init_llm_int8_device
+
+        llm = init_llm_int8_device(ks[0], cfg.llm, dtype=dtype)
+    else:
+        llm = internlm2.init_params(ks[0], cfg.llm, dtype)
     return {
-        "llm": internlm2.init_params(ks[0], cfg.llm, dtype),
+        "llm": llm,
         "vision": internvit.init_params(ks[1], cfg.vision, dtype),
         "projector": projector.init_params(ks[2], cfg, dtype),
         "resampler": resampler.init_params(ks[3], cfg.resampler, dtype),

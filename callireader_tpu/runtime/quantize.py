@@ -163,5 +163,51 @@ def quantized_logical_axes(axes: Dict[str, Any], params: Dict[str, Any]) -> Dict
     return out
 
 
+def init_llm_int8_device(key: jax.Array, cfg, *, dtype=jnp.bfloat16) -> Dict[str, Any]:
+    """Random-init the LLM DIRECTLY as int8+scales, one leaf at a time on
+    device. quantize_llm_int8(init_params(...)) needs the full bf16 tree
+    resident first — 15.5 GB for the 8B flagship, which is exactly what int8
+    single-chip serving exists to avoid. Here each stacked leaf is generated
+    bf16, reduced to absmax scales, and rounded to int8 inside ONE jitted
+    program (XLA frees the bf16 intermediate at program exit), so peak HBM is
+    accumulated-int8 + one bf16 leaf (~3.8 GB for the 8B mlp stack).
+    Same tree structure/dtypes as quantize_llm_int8 output (different RNG
+    stream — random weights are for pipeline/perf testing only)."""
+    import functools
+
+    L, E, M = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
+    V = cfg.vocab_size
+
+    @functools.partial(jax.jit, static_argnames=("shape", "scale_axes"))
+    def _qleaf(k, shape, scale_axes):
+        w = jax.random.normal(k, shape, dtype) * jnp.asarray(0.02, dtype)
+        wf = w.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(wf), axis=scale_axes, keepdims=True)
+        scale = jnp.maximum(absmax, 1e-8) / 127.0
+        q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        return q, scale.astype(jnp.float32)
+
+    ks = jax.random.split(key, 9)
+    shapes = {
+        "wq": (L, E, Hq * D), "wk": (L, E, Hkv * D), "wv": (L, E, Hkv * D),
+        "wo": (L, Hq * D, E), "w1": (L, E, M), "w3": (L, E, M), "w2": (L, M, E),
+    }
+    layers: Dict[str, Any] = {
+        "attn_norm": jnp.ones((L, E), dtype),
+        "ffn_norm": jnp.ones((L, E), dtype),
+    }
+    for i, name in enumerate(QUANT_TARGETS):
+        q, s = _qleaf(ks[i], shapes[name], (1,))
+        layers[f"{name}_q"] = q
+        layers[f"{name}_scale"] = s
+    out: Dict[str, Any] = {"layers": layers, "norm": jnp.ones((E,), dtype)}
+    for j, name in enumerate(("tok_embeddings", "output")):
+        q, s = _qleaf(ks[7 + j], (V, E), (1,))
+        out[f"{name}_q"] = q
+        out[f"{name}_scale"] = s
+    return out
+
+
 def param_bytes(tree: Any) -> int:
     return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree))

@@ -104,3 +104,34 @@ def test_quantized_vit_close_and_engine_runs():
                     np.uint8)
     )
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_init_llm_int8_device_matches_quantized_tree():
+    """init_llm_int8_device (leaf-by-leaf int8 init — how a random 8B fits
+    one 16 GB chip) must produce the exact tree structure/shapes/dtypes of
+    quantize_llm_int8(init_params(...)), and run the decode paths."""
+    import jax.numpy as jnp
+
+    from callireader_tpu.core.config import callireader_tiny
+    from callireader_tpu.models import internlm2
+
+    cfg = callireader_tiny().llm
+    p8 = quantize.init_llm_int8_device(jax.random.PRNGKey(0), cfg)
+    ref = quantize.quantize_llm_int8(
+        internlm2.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    )
+    assert jax.tree.structure(p8) == jax.tree.structure(ref)
+    a = {jax.tree_util.keystr(k): (v.shape, str(v.dtype))
+         for k, v in jax.tree_util.tree_leaves_with_path(p8)}
+    b = {jax.tree_util.keystr(k): (v.shape, str(v.dtype))
+         for k, v in jax.tree_util.tree_leaves_with_path(ref)}
+    assert a == b
+    # int8 tree is ~half the bf16 bytes (scales add a little back)
+    bf = internlm2.init_params(jax.random.PRNGKey(1), cfg, jnp.bfloat16)
+    assert quantize.param_bytes(p8) < 0.62 * quantize.param_bytes(bf)
+    # prefill + one decode step run on the int8-initialized tree
+    logits, cache = internlm2.prefill(
+        p8, cfg, inputs_embeds=jnp.zeros((1, 8, cfg.hidden_size), jnp.bfloat16),
+        attention_mask=jnp.ones((1, 8), jnp.int32), max_len=16, use_flash=False,
+    )
+    assert np.isfinite(np.asarray(logits)).all()
