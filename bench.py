@@ -413,6 +413,17 @@ def main():
     import gc
 
     gc.collect()
+    # BENCH_PROFILE=<dir>: capture a jax.profiler trace (XProf/TensorBoard)
+    # of the first two measured steady-state intervals — the observability
+    # artifact for "where does the interval go" questions.
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        from callireader_tpu.utils.profiling import trace
+
+        with trace(profile_dir):
+            prof_iv = [pipeline_step() for _ in range(2)]
+        print(f"[bench] profile trace ({[round(v, 2) for v in prof_iv]}s) "
+              f"-> {profile_dir}", file=sys.stderr)
     intervals = [pipeline_step() for _ in range(N_BATCHES - 1)]
     sync(prev)  # final batch: decode tail only, not a pipelined interval
     intervals.append(time.time() - last)

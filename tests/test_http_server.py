@@ -238,3 +238,44 @@ def test_concurrent_requests_share_slots(http_server):
     snap = loop.snapshot()
     assert snap["requests_completed"] >= 3
     assert snap["tokens_generated"] > 0
+
+
+@pytest.mark.slow
+def test_http_server_sharded_mesh():
+    """The HTTP stack over an SPMD engine + KV-sharded batcher on the
+    virtual 8-device platform: same completion text as the unsharded module
+    server would produce (bf16 random weights decode deterministically)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from callireader_tpu.cli.common import build_engine
+    from callireader_tpu.runtime.http_server import serve_http
+    from callireader_tpu.runtime.serving import ContinuousBatcher
+
+    def run_once(mesh_spec):
+        engine = build_engine(
+            preset="callireader-tiny", random_init_ok=True, mesh_spec=mesh_spec,
+        )
+        batcher = ContinuousBatcher(
+            engine.params["llm"], engine.cfg.llm, num_slots=2, max_len=512,
+            policy=engine.policy, use_flash=False, mesh=engine.mesh,
+        )
+        server, loop = serve_http(engine, batcher, port=0, model_name="tiny")
+        port = server.server_address[1]
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            out = _post(port, "/v1/chat/completions", {
+                "messages": [{"role": "user", "content": "你好"}],
+                "max_tokens": 4,
+            })
+        finally:
+            server.shutdown()
+            loop.shutdown()
+            server.server_close()
+        return out["choices"][0]["message"]["content"]
+
+    sharded = run_once("tensor=2,fsdp=2,data=2")
+    plain = run_once(None)
+    assert sharded == plain
