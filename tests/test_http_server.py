@@ -279,3 +279,61 @@ def test_http_server_sharded_mesh():
     sharded = run_once("tensor=2,fsdp=2,data=2")
     plain = run_once(None)
     assert sharded == plain
+
+
+@pytest.mark.slow
+def test_scheduler_soak_mixed_traffic(http_server):
+    """Soak the scheduler: 12 concurrent requests mixing stream/non-stream,
+    varying budgets, one oversized (rejected) and one with history — all
+    must complete, counters must add up, and the server must stay healthy."""
+    port, loop = http_server
+    before = loop.snapshot()
+    results = {}
+    errors = {}
+
+    def hit(i):
+        try:
+            if i % 4 == 2:  # streamed
+                chunks = _sse_chunks(port, {
+                    "messages": [{"role": "user", "content": f"流{i}"}],
+                    "max_tokens": 2 + (i % 3), "stream": True,
+                })
+                assert chunks[-1] == "[DONE]"
+                results[i] = "".join(
+                    c["choices"][0]["delta"].get("content", "")
+                    for c in chunks[:-1] if isinstance(c, dict) and "choices" in c
+                )
+            elif i == 5:  # oversized -> per-request 400
+                try:
+                    _post(port, "/v1/chat/completions", {
+                        "messages": [{"role": "user", "content": "字" * 9000}],
+                    })
+                except urllib.error.HTTPError as e:
+                    results[i] = f"rejected:{e.code}"
+            else:
+                body = {"messages": [{"role": "user", "content": f"问{i}"}],
+                        "max_tokens": 2 + (i % 3)}
+                if i % 4 == 3:
+                    body["messages"] = [
+                        {"role": "user", "content": "早"},
+                        {"role": "assistant", "content": "好"},
+                    ] + body["messages"]
+                results[i] = _post(port, "/v1/chat/completions", body)[
+                    "choices"][0]["message"]["content"]
+        except Exception as e:  # pragma: no cover - diagnostic
+            errors[i] = repr(e)
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(12)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=900)
+    assert not errors, errors
+    assert len(results) == 12
+    assert results[5] == "rejected:400"
+    snap = loop.snapshot()
+    assert snap["requests_total"] - before["requests_total"] == 12
+    assert (snap["requests_completed"] - before["requests_completed"]) == 11
+    assert snap["requests_rejected"] - before["requests_rejected"] == 1
+    assert snap["slots_busy"] == 0 and snap["queue_depth"] == 0
+    assert _get(port, "/health")["status"] == "ok"
