@@ -184,9 +184,11 @@ def main():
     # BENCH_CHAR_CANVAS=364: the char-ViT canvas FLOP lever (A/B knob;
     # default = reference 448 canvas — the headline stays parity-workload)
     char_canvas = int(os.environ.get("BENCH_CHAR_CANVAS", "0")) or None
+    # BENCH_CHAR_WINDOW: crops per fused char dispatch (live-set knob)
+    char_window = int(os.environ.get("BENCH_CHAR_WINDOW", "0")) or None
     engine = CalliReaderEngine(
         cfg, params, tok, use_flash=on_tpu, device_tile_pages=device_tiles,
-        char_canvas=char_canvas,
+        char_canvas=char_canvas, char_window=char_window,
     )
 
     page, gt_flat, page_source = load_page()

@@ -110,6 +110,7 @@ class CalliReaderEngine:
         device_resize_chars: bool = True,
         device_tile_pages: bool = False,
         char_canvas: Optional[int] = None,
+        char_window: Optional[int] = None,
         mesh=None,
     ):
         self.mesh = mesh
@@ -182,6 +183,12 @@ class CalliReaderEngine:
                     f"char_canvas {canvas} cannot hold the [200,{content_hi}] "
                     f"char content scale")
         self.char_canvas = canvas
+        # Max crops per fused char-pipeline dispatch. Bounds the program's
+        # live set: a 192-crop window holds a 1.6 GB ViT-MLP intermediate
+        # (192x1025x4096 bf16), and next to the decode KV cache that pushes
+        # XLA's memory assignment into host-offload copies (observed as 33 MB
+        # S(1) copy-start ops eating the interval in the profile trace).
+        self.char_window = int(char_window) if char_window else CHAR_BUCKETS[-1]
         self.use_flash = (
             use_flash if use_flash is not None else jax.devices()[0].platform == "tpu"
         )
@@ -793,7 +800,7 @@ class CalliReaderEngine:
         # thrash HBM next to the in-flight decode's KV cache)
         n_learns = self.cfg.resampler.num_learns
         n_total = len(all_crops)
-        win = CHAR_BUCKETS[-1]
+        win = self.char_window
         # windows bound the per-dispatch ViT feature footprint; the tiny
         # pseudo outputs of ALL windows reassemble in ONE reorder program
         # (global perm) instead of one per window + a concat

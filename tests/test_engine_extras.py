@@ -430,3 +430,24 @@ def test_char_canvas_validation():
         CalliReaderEngine(CFG, params, tok, use_flash=False, char_canvas=70)
     with pytest.raises(ValueError):  # cannot hold the content scale
         CalliReaderEngine(CFG, params, tok, use_flash=False, char_canvas=28)
+
+
+def test_char_window_is_pure_scheduling(engine):
+    """char_window (crops per fused dispatch — the live-set knob) must not
+    change outputs at all: window 2 == default window on a 3-char page."""
+    params = init_all_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+    tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
+    det = lambda img: [
+        [8.0, 8.0, 24.0, 24.0], [8.0, 33.0, 24.0, 49.0], [33.0, 18.0, 49.0, 34.0]
+    ]
+    img = np.asarray(_img(1))
+    outs = {}
+    for w in (None, 2):
+        e = CalliReaderEngine(
+            CFG, params, tok, policy=FP32_POLICY, use_flash=False, char_window=w,
+        )
+        e.detector = det
+        (bp, bi), = e.batch_calli_align([img])
+        outs[w] = (np.asarray(bp), np.asarray(bi))
+    np.testing.assert_allclose(outs[None][0], outs[2][0], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(outs[None][1], outs[2][1])
