@@ -164,16 +164,16 @@ def forward(
 
         if not use_flash:
             attn_impl = "reference"
-        elif interpret and -(-S // 128) * 128 <= MAX_SINGLE_PASS_KV and Dh % 64 == 0:
+        elif -(-S // 128) * 128 <= MAX_SINGLE_PASS_KV and Dh % 64 == 0:
             # ViT rows are short (448px tile -> S=1025): one head's K/V fits
-            # VMEM, so the single-pass kernel is eligible (no online-softmax
+            # VMEM, so the whole-row kernels are eligible (no online-softmax
             # state, no lane-misaligned head slicing; vit_attention.py
             # header). Fused-loop A/B on v5e (scripts/bench_vit.py
-            # --attn-impl both, 64 tiles): packed 192.2 tiles/s vs
-            # single_pass 187.6 — packed stays the real-TPU default; the
-            # single-pass kernel remains the interpret-mode choice (no
-            # scratch-lane semantics to emulate) and an explicit override.
-            attn_impl = "single_pass"
+            # --attn-impl both, 64 tiles): nomax 200.0 tiles/s vs packed
+            # 192.6 vs single_pass 187.6 — the max-free kernel is the
+            # real-TPU default; interpret mode keeps the single-pass kernel
+            # (rowmax-shifted, tight-parity `precise` path for tests).
+            attn_impl = "single_pass" if interpret else "nomax"
         else:
             attn_impl = "packed"
     if attn_impl == "packed" and not interpret and (Hn * Dh) % 128:
@@ -215,6 +215,12 @@ def forward(
             )
 
             ctx = attention_from_packed_qkv(qkv, Hn, interpret=interpret)
+        elif attn_impl == "nomax":
+            from callireader_tpu.kernels.vit_attention import (
+                attention_from_packed_qkv_nomax,
+            )
+
+            ctx = attention_from_packed_qkv_nomax(qkv, Hn, interpret=interpret)
         elif attn_impl == "packed":
             # packed-QKV kernel: consumes (B, S, 3E) directly, zero transposes.
             # Fused-loop A/B inside the full 12-layer ViT on v5e (64 tiles):

@@ -32,9 +32,9 @@ def main(argv=None):
     p.add_argument(
         "--attn-impl",
         default=None,
-        choices=["single_pass", "packed", "reference", "both"],
+        choices=["single_pass", "packed", "nomax", "reference", "both"],
         help="override the ViT attention kernel (default: auto); "
-        "'both' A/Bs packed vs single_pass in one process",
+        "'both' A/Bs packed vs single_pass vs nomax in one process",
     )
     args = p.parse_args(argv)
 
@@ -75,7 +75,9 @@ def main(argv=None):
     dev_tiles = jnp.asarray(tiles)
 
     impls = (
-        ["packed", "single_pass"] if args.attn_impl == "both" else [args.attn_impl]
+        ["packed", "single_pass", "nomax"]
+        if args.attn_impl == "both"
+        else [args.attn_impl]
     )
     ref_out = None
     for impl in impls:

@@ -115,6 +115,29 @@ def test_vit_single_pass_bf16_scores_close():
     assert float(err.mean()) / float(denom) < 2e-2
 
 
+def test_vit_nomax_matches_precise():
+    # The max-free kernel (real-TPU default) must stay within bf16-score
+    # rounding of the f32-score single-pass result, including the pad bias
+    # and the scale*log2(e) fold into q.
+    from callireader_tpu.kernels.vit_attention import (
+        attention_from_packed_qkv,
+        attention_from_packed_qkv_nomax,
+    )
+
+    B, S, H, D = 2, 257, 4, 64
+    qkv = (
+        jax.random.normal(jax.random.PRNGKey(19), (B, S, 3 * H * D), jnp.float32) * 0.5
+    ).astype(jnp.bfloat16)
+    out = attention_from_packed_qkv_nomax(qkv, H, interpret=True)
+    ref = attention_from_packed_qkv(
+        qkv.astype(jnp.float32), H, interpret=True, precise=True
+    )
+    err = np.abs(np.asarray(out, np.float32) - np.asarray(ref, np.float32))
+    denom = np.abs(np.asarray(ref, np.float32)).mean()
+    assert float(err.mean()) / float(denom) < 2e-2
+    assert not np.isnan(np.asarray(out, np.float32)).any()
+
+
 def test_vit_single_pass_pad_region_masked():
     # Garbage rows beyond S must not leak: duplicate the valid rows, poison
     # nothing (padding is built inside), and check vs reference exactly.
