@@ -107,6 +107,7 @@ def _flash_kernel(
     num_k_blocks: int,
     use_segments: bool,
     kv_valid: int,
+    q_offset: int = 0,
 ):
     kb = pl.program_id(3)
     qb = pl.program_id(2)
@@ -117,10 +118,12 @@ def _flash_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    # Causal: skip blocks entirely above the diagonal.
+    # Causal: skip blocks entirely above the diagonal. q_offset positions the
+    # query rows inside the KV sequence (chunked prefill: q is the suffix of a
+    # longer cached sequence, so row i sits at absolute position i + q_offset).
     run = True
     if causal:
-        run = qb * block_q + block_q - 1 >= kb * block_k
+        run = qb * block_q + block_q - 1 + q_offset >= kb * block_k
 
     def _softmax_update(s):
         m_prev = m_scratch[:, :1]  # (bq, 1)
@@ -148,7 +151,9 @@ def _flash_kernel(
 
         mask = None
         if causal:
-            q_pos = qb * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+            q_pos = qb * block_q + q_offset + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0
+            )
             k_pos = kb * block_k + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
             mask = q_pos >= k_pos
         if use_segments:
@@ -196,7 +201,7 @@ def _pad_to(x, axis, mult, value=0):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "scale", "block_q", "block_k", "interpret"),
+    static_argnames=("causal", "scale", "block_q", "block_k", "interpret", "q_offset"),
 )
 def flash_attention(
     q: jax.Array,
@@ -210,11 +215,15 @@ def flash_attention(
     block_q: int = 512,
     block_k: int = 512,
     interpret: bool = False,
+    q_offset: int = 0,
 ) -> jax.Array:
     """Pallas flash attention. Shapes as in ``attention_reference``.
 
     Sequences are padded to block multiples internally; padded KV columns are
     masked via segment ids (padding gets segment id -1, which never matches).
+    Static ``q_offset`` places the query rows at absolute KV positions
+    ``[q_offset, q_offset + Sq)`` for causal masking — the chunked-prefill
+    case where K/V carry a cached prefix the queries fully attend to.
     """
     B, Hq, Sq, D = q.shape
     Hkv, Sk = k.shape[1], k.shape[2]
@@ -262,6 +271,7 @@ def flash_attention(
             num_k_blocks=nk,
             use_segments=use_segments,
             kv_valid=Sk,
+            q_offset=q_offset,
         ),
         grid=grid,
         in_specs=[
@@ -293,11 +303,16 @@ def attention(
 ):
     """Dispatch: Pallas flash kernel on TPU, XLA reference elsewhere."""
     if use_flash is None:
-        use_flash = jax.devices()[0].platform == "tpu" and q_offset == 0 and q.shape[2] > 1
+        use_flash = (
+            jax.devices()[0].platform == "tpu"
+            and isinstance(q_offset, int)
+            and q.shape[2] > 1
+        )
     if use_flash:
         return flash_attention(
             q, k, v, causal=causal, q_segment_ids=q_segment_ids,
             kv_segment_ids=kv_segment_ids, scale=scale, interpret=interpret,
+            q_offset=q_offset,
         )
     return attention_reference(
         q, k, v, causal=causal, q_segment_ids=q_segment_ids,

@@ -430,6 +430,109 @@ def prefill(
     return last_logits, cache
 
 
+def prefill_with_prefix(
+    params: Params,
+    cfg: LLMConfig,
+    *,
+    inputs_embeds: jax.Array,     # (B, S, E) suffix rows, left-padded
+    attention_mask: jax.Array,    # (B, S) 1=valid
+    prefix_k: jax.Array,          # (L, Hkv, P, D) cached prefix KV (RoPE'd at positions 0..P-1)
+    prefix_v: jax.Array,
+    max_len: int = 2048,
+    cache_dtype=jnp.bfloat16,
+    policy: DTypePolicy = DEFAULT_POLICY,
+    use_flash: Optional[bool] = None,
+    interpret: bool = False,
+    mesh=None,
+) -> Tuple[jax.Array, KVCache]:
+    """Chunked prefill over an already-computed prefix KV (the serving prefix
+    cache): only the suffix tokens run through the layers; their queries attend
+    the prefix in full and each other causally. Skips the prefix's share of the
+    prompt FLOPs entirely — the HF reference re-prefills the whole transcript
+    every chat turn (modeling_internvl_chat.py:290-344 rebuilds and re-runs the
+    full prompt per call).
+
+    Returns (last_logits (B, V), cache) whose per-row region is laid out
+    ``[pad | prefix | suffix]`` occupying ``[padlen, P + S)`` — exactly the
+    contiguous left-padded region the multislot decode expects, so downstream
+    bookkeeping (starts/lengths) is unchanged.
+    """
+    x = inputs_embeds.astype(policy.compute_dtype)
+    B, S, _ = x.shape
+    P = prefix_k.shape[2]
+    attention_mask = attention_mask.astype(jnp.int32)
+
+    # suffix positions continue the prefix's 0..P-1 (valid tokens only)
+    positions = P + jnp.clip(jnp.cumsum(attention_mask, axis=1) - 1, 0, None)
+    q_seg = jnp.where(attention_mask > 0, 0, -1).astype(jnp.int32)
+    kv_seg = jnp.concatenate([jnp.zeros((B, P), jnp.int32), q_seg], axis=1)
+
+    cos, sin = cos_sin_for(cfg, positions, P + S)
+    if use_flash is None:
+        use_flash = jax.devices()[0].platform == "tpu"
+
+    def attn_fn(q, k, v, idx):
+        pk = jax.lax.dynamic_index_in_dim(prefix_k, idx, 0, keepdims=False)
+        pv = jax.lax.dynamic_index_in_dim(prefix_v, idx, 0, keepdims=False)
+        kf = jnp.concatenate(
+            [jnp.broadcast_to(pk[None].astype(k.dtype), (B,) + pk.shape), k], axis=2
+        )
+        vf = jnp.concatenate(
+            [jnp.broadcast_to(pv[None].astype(v.dtype), (B,) + pv.shape), v], axis=2
+        )
+        if use_flash:
+            from callireader_tpu.parallel.tp_attention import (
+                flash_attention_tp, tp_active,
+            )
+
+            if tp_active(mesh):
+                ctx = flash_attention_tp(
+                    q, kf, vf, mesh, causal=True,
+                    q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+                    interpret=interpret, q_offset=P,
+                )
+            else:
+                ctx = flash_attention(
+                    q, kf, vf, causal=True,
+                    q_segment_ids=q_seg, kv_segment_ids=kv_seg,
+                    interpret=interpret, q_offset=P,
+                )
+        else:
+            ctx = attention_reference(
+                q, kf, vf, causal=True,
+                q_segment_ids=q_seg, kv_segment_ids=kv_seg, q_offset=P,
+            )
+        return ctx, kf.astype(cache_dtype), vf.astype(cache_dtype)
+
+    x, (ck, cv) = _run_layers(params, cfg, x, cos, sin, attn_fn, policy)
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
+    last_logits = _logits(params, x[:, -1:, :], policy, cfg)[:, 0]
+
+    # ck/cv are (L, B, Hkv, P+S, D) laid out [prefix | pad | suffix] per row
+    # (suffix rows were left-padded). Rearrange each row to the contiguous
+    # [pad | prefix | suffix] layout via a per-row gather: output column j
+    # reads prefix[j - padlen] inside [padlen, padlen+P) and the original
+    # column j beyond (suffix token t sits at P + padlen + t both before and
+    # after). Columns below padlen are dead (outside [start, length)).
+    padlen = jnp.sum(attention_mask == 0, axis=1)  # (B,)
+    j = jnp.arange(P + S)[None]  # (1, P+S)
+    gidx = jnp.where(
+        j < padlen[:, None] + P,
+        jnp.clip(j - padlen[:, None], 0, P - 1),
+        j,
+    )  # (B, P+S)
+
+    def gather_row(c, gi):  # c (L, Hkv, P+S, D), gi (P+S,)
+        return jnp.take(c, gi, axis=2)
+
+    ck = jax.vmap(gather_row, in_axes=(1, 0), out_axes=1)(ck, gidx)
+    cv = jax.vmap(gather_row, in_axes=(1, 0), out_axes=1)(cv, gidx)
+    pad = max_len - (P + S)
+    ck = jnp.pad(ck, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    cv = jnp.pad(cv, ((0, 0), (0, 0), (0, 0), (0, pad), (0, 0)))
+    return last_logits, KVCache(k=ck, v=cv, length=jnp.asarray(P + S, jnp.int32))
+
+
 def decode_step_multislot(
     params: Params,
     cfg: LLMConfig,

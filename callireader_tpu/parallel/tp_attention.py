@@ -45,6 +45,7 @@ def flash_attention_tp(
     q_segment_ids: Optional[jax.Array] = None,
     kv_segment_ids: Optional[jax.Array] = None,
     interpret: bool = False,
+    q_offset: int = 0,
 ) -> jax.Array:
     """flash_attention with heads split over the mesh "tensor" axis."""
     head_spec = P(None, "tensor", None, None)
@@ -53,7 +54,7 @@ def flash_attention_tp(
     def local(q, k, v, qs, ks):
         return flash_attention(
             q, k, v, causal=causal, q_segment_ids=qs, kv_segment_ids=ks,
-            interpret=interpret,
+            interpret=interpret, q_offset=q_offset,
         )
 
     return _shard_map(

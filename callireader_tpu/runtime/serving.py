@@ -20,6 +20,7 @@ k*B) token ids as the only device->host traffic.
 from __future__ import annotations
 
 import dataclasses
+import hashlib
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -56,6 +57,23 @@ class Request:
     # device-resident copy of `embeds`, populated at submit() so the h2d
     # transfer overlaps the in-flight decode instead of stalling admission
     dev_embeds: Optional[Any] = None
+
+
+@dataclasses.dataclass
+class PrefixEntry:
+    """One cached prompt prefix: its embed-row digest + device KV."""
+
+    digest: bytes
+    plen: int
+    k: Any  # (L, Hkv, plen, D)
+    v: Any
+    last_used: int = 0  # monotone tick for LRU eviction
+
+
+def _digest_rows(embeds: np.ndarray) -> bytes:
+    return hashlib.sha1(
+        np.ascontiguousarray(embeds, np.float32).tobytes()
+    ).digest()
 
 
 class ContinuousBatcher:
@@ -133,6 +151,69 @@ class ContinuousBatcher:
             lambda seen, slot: seen.at[slot].set(False), donate_argnums=(0,)
         )
         self._prefill_cache: Dict[int, Callable] = {}
+        self._prefill_prefix_cache: Dict[Tuple[int, int], Callable] = {}
+        self.prefixes: List[PrefixEntry] = []
+        self.prefix_hits = 0
+        # registered-prefix KV is device memory ((L, Hkv, plen, D) each);
+        # cap the registry and evict the least-recently-hit entry past it
+        self.max_prefixes = 8
+
+    # ------------------------------------------------------------------
+    # prefix KV cache: register a shared prompt prefix once (system prompt,
+    # chat history, agent transcript); matching requests skip its prefill
+    # FLOPs. The reference re-prefills the full transcript every turn.
+    # ------------------------------------------------------------------
+
+    def register_prefix(self, embeds: np.ndarray, *, quantum: int = 128) -> int:
+        """Prefill ``embeds`` once and cache its KV. Subsequent requests whose
+        prompt starts with these embed rows (bit-exact) prefill only the
+        remainder. The cached length is floored to a ``quantum`` multiple so
+        the chunked-prefill jit shapes stay bucketed. Returns the cached
+        length in tokens (0 = too short to cache)."""
+        plen = (embeds.shape[0] // quantum) * quantum
+        if plen == 0:
+            return 0
+        rows = embeds[:plen]
+        digest = _digest_rows(rows)
+        for e in self.prefixes:
+            if e.plen == plen and e.digest == digest:
+                return plen
+        logits, cache = self._prefill_fn(plen)(
+            self.params, jnp.asarray(rows)[None],
+            jnp.ones((1, plen), jnp.int32),
+        )
+        del logits
+        self.prefixes.append(PrefixEntry(
+            digest=digest, plen=plen,
+            k=cache.k[:, 0, :, :plen], v=cache.v[:, 0, :, :plen],
+            last_used=self.prefix_hits,
+        ))
+        if len(self.prefixes) > self.max_prefixes:
+            self.prefixes.remove(min(self.prefixes, key=lambda e: e.last_used))
+        self.prefixes.sort(key=lambda e: -e.plen)
+        return plen
+
+    def _match_prefix(self, req: Request) -> Optional[PrefixEntry]:
+        # longest registered prefix that leaves >= 1 suffix token (the chunked
+        # prefill computes next-token logits from the suffix's last row)
+        for e in self.prefixes:
+            if req.embeds.shape[0] > e.plen and _digest_rows(req.embeds[: e.plen]) == e.digest:
+                e.last_used = self.prefix_hits
+                return e
+        return None
+
+    def _prefill_prefix_fn(self, bucket: int, plen: int):
+        key = (bucket, plen)
+        if key not in self._prefill_prefix_cache:
+            self._prefill_prefix_cache[key] = jax.jit(
+                lambda p, e, m, pk, pv: internlm2.prefill_with_prefix(
+                    p, self.cfg, inputs_embeds=e, attention_mask=m,
+                    prefix_k=pk, prefix_v=pv, max_len=self.max_len,
+                    policy=self.policy, use_flash=self.use_flash,
+                    cache_dtype=self.cache_k.dtype, mesh=self.mesh,
+                )
+            )
+        return self._prefill_prefix_cache[key]
 
     # ------------------------------------------------------------------
 
@@ -212,30 +293,49 @@ class ContinuousBatcher:
         free = [s for s in range(self.B) if self.slot_req[s] is None]
         if not free or not self.queue:
             return
-        # group the admissible requests by prompt bucket: a single n-row
-        # prefill amortizes the weight reads that dominate 1-row prefill
+        # group the admissible requests by (prompt bucket, matched prefix): a
+        # single n-row prefill amortizes the weight reads that dominate 1-row
+        # prefill; prefix-cache hits share one chunked-prefill program
         take = self.queue[: len(free)]
         del self.queue[: len(take)]
-        by_bucket: Dict[int, List[Request]] = {}
+        by_key: Dict[Tuple[int, int], Tuple[Optional[PrefixEntry], List[Request]]] = {}
         for req in take:
             bucket = self._admission_bucket(req)
-            if bucket is not None:
-                by_bucket.setdefault(bucket, []).append(req)
+            if bucket is None:
+                continue
+            entry = self._match_prefix(req) if self.prefixes else None
+            key = (bucket, entry.plen if entry else 0)
+            by_key.setdefault(key, (entry, []))[1].append(req)
         it = iter(free)
-        for bucket, reqs in by_bucket.items():
-            # jit caches one program per (bucket, n) shape; n <= num_slots
+        for (bucket, plen), (entry, reqs) in by_key.items():
+            # jit caches one program per (bucket, plen, n) shape; n <= num_slots
             # and the persistent compilation cache makes each a one-time cost.
             # rows were h2d'd at submit(); left-pad on device (no host copy)
-            rows = []
-            mask = np.zeros((len(reqs), bucket), np.int32)
-            for i, req in enumerate(reqs):
-                S = req.embeds.shape[0]
-                e = req.dev_embeds if req.dev_embeds is not None else jnp.asarray(req.embeds)
-                rows.append(jnp.pad(e, ((bucket - S, 0), (0, 0))))
-                mask[i, bucket - S:] = 1
-            logits, cache = self._prefill_fn(bucket)(
-                self.params, jnp.stack(rows), jnp.asarray(mask)
-            )
+            if plen:
+                sb = bucket - plen  # suffix region size
+                rows = []
+                mask = np.zeros((len(reqs), sb), np.int32)
+                for i, req in enumerate(reqs):
+                    slen = req.embeds.shape[0] - plen
+                    e = req.dev_embeds if req.dev_embeds is not None else jnp.asarray(req.embeds)
+                    rows.append(jnp.pad(e[plen:], ((sb - slen, 0), (0, 0))))
+                    mask[i, sb - slen:] = 1
+                logits, cache = self._prefill_prefix_fn(bucket, plen)(
+                    self.params, jnp.stack(rows), jnp.asarray(mask),
+                    entry.k, entry.v,
+                )
+                self.prefix_hits += len(reqs)
+            else:
+                rows = []
+                mask = np.zeros((len(reqs), bucket), np.int32)
+                for i, req in enumerate(reqs):
+                    S = req.embeds.shape[0]
+                    e = req.dev_embeds if req.dev_embeds is not None else jnp.asarray(req.embeds)
+                    rows.append(jnp.pad(e, ((bucket - S, 0), (0, 0))))
+                    mask[i, bucket - S:] = 1
+                logits, cache = self._prefill_fn(bucket)(
+                    self.params, jnp.stack(rows), jnp.asarray(mask)
+                )
             for i, req in enumerate(reqs):
                 slot = next(it)
                 self.cache_k, self.cache_v = self._insert(

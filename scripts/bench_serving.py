@@ -31,6 +31,11 @@ def main(argv=None):
     p.add_argument("--mesh", type=str, default=None)
     p.add_argument("--prompt-len", type=int, default=96)
     p.add_argument("--quant", choices=[None, "int8"], default=None)
+    # shared-prefix workload: every prompt starts with the same N tokens (a
+    # system prompt / chat history); --prefix-cache registers its KV once so
+    # requests prefill only their suffix (runtime/serving.register_prefix)
+    p.add_argument("--shared-prefix", type=int, default=0)
+    p.add_argument("--prefix-cache", action="store_true")
     args = p.parse_args(argv)
 
     import jax
@@ -76,11 +81,24 @@ def main(argv=None):
         )
 
     rng = np.random.RandomState(0)
+    if args.prefix_cache and (args.paged or not args.shared_prefix):
+        p.error("--prefix-cache needs --shared-prefix and the non-paged batcher")
+    shared_ids = rng.randint(10, 90000, args.shared_prefix).astype(np.int32)
+    shared_embeds = (
+        np.asarray(
+            internlm2.embed_tokens(params, jnp.asarray(shared_ids[None]), jnp.bfloat16)
+        )[0]
+        if args.shared_prefix
+        else None
+    )
 
     def reqs():
         out = []
         for uid in range(args.requests):
-            ids = rng.randint(10, 90000, args.prompt_len).astype(np.int32)
+            tail = args.prompt_len - args.shared_prefix
+            ids = np.concatenate(
+                [shared_ids, rng.randint(10, 90000, tail).astype(np.int32)]
+            ) if args.shared_prefix else rng.randint(10, 90000, args.prompt_len).astype(np.int32)
             e = np.asarray(
                 internlm2.embed_tokens(params, jnp.asarray(ids[None]), jnp.bfloat16)
             )[0]
@@ -91,6 +109,8 @@ def main(argv=None):
 
     # warmup (compiles prefill/decode programs)
     b = make_batcher()
+    if args.prefix_cache:
+        b.register_prefix(shared_embeds)
     for r in reqs()[: args.slots]:
         r.max_new_tokens = 4
         b.submit(r)
@@ -98,6 +118,8 @@ def main(argv=None):
     print("[bench_serving] warmup done", file=sys.stderr)
 
     b = make_batcher()
+    if args.prefix_cache:
+        b.register_prefix(shared_embeds)
     t0 = time.time()
     for r in reqs():
         b.submit(r)
@@ -117,6 +139,9 @@ def main(argv=None):
             "mesh": args.mesh,
             "total_tokens": toks,
             "seconds": round(dt, 2),
+            "shared_prefix": args.shared_prefix,
+            "prefix_cache": args.prefix_cache,
+            "prefix_hits": getattr(b, "prefix_hits", 0),
         })
     )
 
