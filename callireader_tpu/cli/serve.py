@@ -65,6 +65,10 @@ def main(argv=None):
     parser.add_argument("--gray-chars", action="store_true",
                         help="(default; kept for compatibility) luma char-canvas "
                              "transfers — conflicts with --rgb-chars")
+    parser.add_argument("--prefix-cache", action="store_true",
+                        help="auto-register each text-only prompt's prefix KV "
+                             "so the next turn of a conversation prefills only "
+                             "its suffix (ContinuousBatcher only; docs/SERVING.md)")
     parser.add_argument("--steps-per-sync", type=int, default=1,
                         help="decode steps per host round trip: amortizes "
                         "dispatch latency, costs up to k-1 throwaway steps "
@@ -129,6 +133,7 @@ def main(argv=None):
         server, loop = serve_http(
             engine, batcher, host=args.host, port=args.http,
             model_name=args.preset, default_rep_pen=args.repetition_penalty,
+            prefix_cache=args.prefix_cache,
         )
         print(f"[serve] HTTP on http://{args.host}:{args.http} "
               f"(slots={args.slots}, paged={args.paged})", file=sys.stderr)

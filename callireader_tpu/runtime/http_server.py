@@ -162,10 +162,20 @@ class SchedulerLoop:
     step, so a heavy multi-tile prep cannot starve in-flight decodes for more
     than one image's front half."""
 
-    def __init__(self, engine, batcher, *, default_rep_pen: float = 1.0):
+    def __init__(self, engine, batcher, *, default_rep_pen: float = 1.0,
+                 prefix_cache: bool = False):
         self.engine = engine
         self.batcher = batcher
         self.default_rep_pen = default_rep_pen
+        # auto prefix-cache: register each text-only prompt's rows before
+        # submitting it. The request then hits its own registration (prefix +
+        # suffix prefill ~= one full prefill, so turn N is FLOP-neutral) and
+        # the NEXT turn of the same conversation — whose rendered prompt
+        # starts with this one under the append-only chat templates — skips
+        # the whole shared share (4.14x admission at 4096/3584, docs/PERF.md).
+        # Image prompts are skipped: images cannot recur in history.
+        self.prefix_cache = prefix_cache and hasattr(batcher, "register_prefix")
+        self.n_prefix_registered = 0
         cfg = engine.cfg
         sep = get_conv_template(cfg.template).sep
         self.sep = sep
@@ -217,6 +227,9 @@ class SchedulerLoop:
                 "requests_completed": self.n_completed,
                 "requests_rejected": self.n_rejected,
                 "tokens_generated": self.n_tokens_out,
+                "prefix_cache": self.prefix_cache,
+                "prefix_registered": self.n_prefix_registered,
+                "prefix_hits": getattr(b, "prefix_hits", 0),
             }
 
     # ----- scheduler thread ---------------------------------------------
@@ -265,6 +278,12 @@ class SchedulerLoop:
             ),
         )
         sess.req = req
+        if self.prefix_cache and image is None:
+            try:
+                if self.batcher.register_prefix(row):
+                    self.n_prefix_registered += 1
+            except Exception:
+                pass  # registration is an optimization; never fail the request
         self._sessions.append(sess)
         self.batcher.submit(req)
 
@@ -528,10 +547,12 @@ def make_handler(loop: SchedulerLoop, model_name: str):
 
 
 def serve_http(engine, batcher, *, host: str = "127.0.0.1", port: int = 8000,
-               model_name: str = "callireader", default_rep_pen: float = 1.0):
+               model_name: str = "callireader", default_rep_pen: float = 1.0,
+               prefix_cache: bool = False):
     """Build and return (ThreadingHTTPServer, SchedulerLoop) — caller runs
     `server.serve_forever()` (the CLI) or drives it from a thread (tests)."""
-    loop = SchedulerLoop(engine, batcher, default_rep_pen=default_rep_pen).start()
+    loop = SchedulerLoop(engine, batcher, default_rep_pen=default_rep_pen,
+                         prefix_cache=prefix_cache).start()
     handler = make_handler(loop, model_name)
     server = ThreadingHTTPServer((host, port), handler)
     server.scheduler_loop = loop  # for tests / shutdown

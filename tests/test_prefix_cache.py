@@ -151,3 +151,45 @@ def test_register_prefix_quantum_and_dedup():
     assert b.register_prefix(e, quantum=4) == 8  # dedup: no second entry
     assert len(b.prefixes) == 1
     assert b.register_prefix(e[:3], quantum=4) == 0  # too short
+
+
+def test_scheduler_loop_auto_prefix_multiturn():
+    """HTTP front end with --prefix-cache: turn 1 registers its prompt's
+    prefix; turn 2 (same conversation, history grown) hits it and produces
+    the same answer as an uncached loop."""
+    from callireader_tpu.cli.common import build_engine
+    from callireader_tpu.runtime.http_server import SchedulerLoop
+
+    engine = build_engine(preset="callireader-tiny", random_init_ok=True)
+
+    def ask(loop, spec):
+        sess = loop.submit(dict(spec), stream=False)
+        kind, payload = sess.events.get(timeout=300)
+        assert kind == "done", payload
+        return payload["text"]
+
+    def run_conversation(prefix_cache: bool):
+        batcher = ContinuousBatcher(
+            engine.params["llm"], engine.cfg.llm, num_slots=2, max_len=512,
+            policy=engine.policy, use_flash=False,
+        )
+        loop = SchedulerLoop(engine, batcher, prefix_cache=prefix_cache).start()
+        try:
+            # a long-ish first question so the registered prefix clears the
+            # 128-token quantum
+            q1 = "请逐字解释这幅书法作品的内容与章法布局。" * 8
+            a1 = ask(loop, {"question": q1, "max_new_tokens": 4})
+            a2 = ask(loop, {
+                "question": "它的作者是谁?", "history": [(q1, a1)],
+                "max_new_tokens": 4,
+            })
+            return a1, a2, loop.n_prefix_registered, batcher.prefix_hits
+        finally:
+            loop.shutdown()
+
+    a1, a2, n_reg, hits = run_conversation(prefix_cache=True)
+    b1, b2, n_reg0, hits0 = run_conversation(prefix_cache=False)
+    assert (a1, a2) == (b1, b2)
+    assert n_reg0 == 0 and hits0 == 0
+    assert n_reg >= 1
+    assert hits >= 1  # turn 2 reused turn 1's registered prefix
