@@ -68,7 +68,7 @@ def main(argv=None):
     parser.add_argument("--prefix-cache", action="store_true",
                         help="auto-register each text-only prompt's prefix KV "
                              "so the next turn of a conversation prefills only "
-                             "its suffix (ContinuousBatcher only; docs/SERVING.md)")
+                             "its suffix (docs/SERVING.md)")
     parser.add_argument("--steps-per-sync", type=int, default=1,
                         help="decode steps per host round trip: amortizes "
                         "dispatch latency, costs up to k-1 throwaway steps "

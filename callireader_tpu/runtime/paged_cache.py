@@ -23,7 +23,7 @@ from callireader_tpu.core.config import LLMConfig
 from callireader_tpu.core.dtypes import DTypePolicy, DEFAULT_POLICY
 from callireader_tpu.models import internlm2
 from callireader_tpu.runtime import generate as gen
-from callireader_tpu.runtime.serving import Request
+from callireader_tpu.runtime.serving import PrefixCacheMixin, Request
 
 
 class PagePool:
@@ -51,12 +51,15 @@ class _Slot:
     length: int     # absolute token count written (incl. left pad region)
 
 
-class PagedBatcher:
+class PagedBatcher(PrefixCacheMixin):
     """Continuous batching over the paged pool.
 
     Same scheduling contract as runtime/serving.ContinuousBatcher, but a slot
     holds only as many pages as its tokens need (bucketed prompt + generation
     growth), and pages return to the pool the moment a request finishes.
+    Supports the prefix KV cache (PrefixCacheMixin): hits prefill only their
+    suffix; the prefix KV is copied into the request's own pages (no page
+    sharing — the copy is HBM-cheap and keeps decode-write invariants).
     """
 
     def __init__(
@@ -130,6 +133,14 @@ class PagedBatcher:
         self._decode = jax.jit(self._decode_impl)
         self._decode_k = jax.jit(self._decode_k_impl, donate_argnums=(2, 3, 7),
                                  static_argnums=(8,))
+        self._init_prefix_cache()
+
+    @property
+    def _cache_dtype(self):
+        return self.kpool.dtype
+
+    def _prefix_prefill_max_len(self, bucket: int) -> int:
+        return bucket  # _insert_pages consumes exactly the bucket region
 
     # ------------------------------------------------------------------
 
@@ -324,23 +335,30 @@ class PagedBatcher:
         if not taken:
             return
 
-        by_bucket: Dict[int, List[Tuple[Request, List[int]]]] = {}
-        for req, bucket, pages in taken:
-            by_bucket.setdefault(bucket, []).append((req, pages))
         it = iter(free_slots)
-        for bucket, group in by_bucket.items():
-            # n <= num_slots jit variants per bucket, one-time compile cost.
-            # rows were h2d'd at submit(); left-pad on device (no host copy)
-            rows = []
-            mask = np.zeros((len(group), bucket), np.int32)
-            for i, (req, _pages) in enumerate(group):
-                S = req.embeds.shape[0]
-                e = req.dev_embeds if req.dev_embeds is not None else jnp.asarray(req.embeds)
-                rows.append(jnp.pad(e, ((bucket - S, 0), (0, 0))))
-                mask[i, bucket - S:] = 1
-            logits, cache = self._prefill_fn(bucket)(
-                self.params, jnp.stack(rows), jnp.asarray(mask)
-            )
+        grouped = self._group_admissions([(r, b, p) for r, b, p in taken])
+        for (bucket, plen), (entry, group) in grouped.items():
+            # n <= num_slots jit variants per (bucket, plen), one-time compile
+            # cost. rows were h2d'd at submit(); left-pad on device
+            if plen:
+                stack, mask = self._prefix_prefill_rows(
+                    [r for r, _ in group], bucket, plen
+                )
+                logits, cache = self._prefill_prefix_fn(bucket, plen)(
+                    self.params, stack, mask, entry.k, entry.v,
+                )
+                self.prefix_hits += len(group)
+            else:
+                rows = []
+                mask = np.zeros((len(group), bucket), np.int32)
+                for i, (req, _pages) in enumerate(group):
+                    S = req.embeds.shape[0]
+                    e = req.dev_embeds if req.dev_embeds is not None else jnp.asarray(req.embeds)
+                    rows.append(jnp.pad(e, ((bucket - S, 0), (0, 0))))
+                    mask[i, bucket - S:] = 1
+                logits, cache = self._prefill_fn(bucket)(
+                    self.params, jnp.stack(rows), jnp.asarray(mask)
+                )
             n_prompt = bucket // self.page
             for i, (req, pages) in enumerate(group):
                 s = next(it)

@@ -76,7 +76,98 @@ def _digest_rows(embeds: np.ndarray) -> bytes:
     ).digest()
 
 
-class ContinuousBatcher:
+class PrefixCacheMixin:
+    """Prefix KV cache shared by the contiguous and paged batchers: register a
+    prompt prefix once (system prompt, chat history, agent transcript); later
+    requests whose leading embed rows match bit-exactly prefill only their
+    suffix via internlm2.prefill_with_prefix. Host classes must provide
+    ``params/cfg/policy/use_flash/mesh``, ``_prefill_fn(bucket)``, a
+    ``_cache_dtype`` property, and ``_prefix_prefill_max_len(bucket)`` (the
+    cache capacity the chunked-prefill program must emit)."""
+
+    def _init_prefix_cache(self) -> None:
+        self._prefill_prefix_cache: Dict[Tuple[int, int], Callable] = {}
+        self.prefixes: List[PrefixEntry] = []
+        self.prefix_hits = 0
+        # registered-prefix KV is device memory ((L, Hkv, plen, D) each);
+        # cap the registry and evict the least-recently-hit entry past it
+        self.max_prefixes = 8
+
+    def register_prefix(self, embeds: np.ndarray, *, quantum: int = 128) -> int:
+        """Prefill ``embeds`` once and cache its KV. Subsequent requests whose
+        prompt starts with these embed rows (bit-exact) prefill only the
+        remainder. The cached length is floored to a ``quantum`` multiple so
+        the chunked-prefill jit shapes stay bucketed. Returns the cached
+        length in tokens (0 = too short to cache)."""
+        plen = (embeds.shape[0] // quantum) * quantum
+        if plen == 0:
+            return 0
+        rows = embeds[:plen]
+        digest = _digest_rows(rows)
+        for e in self.prefixes:
+            if e.plen == plen and e.digest == digest:
+                return plen
+        logits, cache = self._prefill_fn(plen)(
+            self.params, jnp.asarray(rows)[None],
+            jnp.ones((1, plen), jnp.int32),
+        )
+        del logits
+        self.prefixes.append(PrefixEntry(
+            digest=digest, plen=plen,
+            k=cache.k[:, 0, :, :plen], v=cache.v[:, 0, :, :plen],
+            last_used=self.prefix_hits,
+        ))
+        if len(self.prefixes) > self.max_prefixes:
+            self.prefixes.remove(min(self.prefixes, key=lambda e: e.last_used))
+        self.prefixes.sort(key=lambda e: -e.plen)
+        return plen
+
+    def _match_prefix(self, req: Request) -> Optional[PrefixEntry]:
+        # longest registered prefix that leaves >= 1 suffix token (the chunked
+        # prefill computes next-token logits from the suffix's last row)
+        for e in self.prefixes:
+            if req.embeds.shape[0] > e.plen and _digest_rows(req.embeds[: e.plen]) == e.digest:
+                e.last_used = self.prefix_hits
+                return e
+        return None
+
+    def _prefill_prefix_fn(self, bucket: int, plen: int):
+        key = (bucket, plen)
+        if key not in self._prefill_prefix_cache:
+            max_len = self._prefix_prefill_max_len(bucket)
+            self._prefill_prefix_cache[key] = jax.jit(
+                lambda p, e, m, pk, pv: internlm2.prefill_with_prefix(
+                    p, self.cfg, inputs_embeds=e, attention_mask=m,
+                    prefix_k=pk, prefix_v=pv, max_len=max_len,
+                    policy=self.policy, use_flash=self.use_flash,
+                    cache_dtype=self._cache_dtype, mesh=self.mesh,
+                )
+            )
+        return self._prefill_prefix_cache[key]
+
+    def _group_admissions(self, reqs_with_buckets):
+        """(req, bucket, payload) triples -> {(bucket, plen): (entry, [(req, payload)])}."""
+        by_key: Dict[Tuple[int, int], Tuple[Optional[PrefixEntry], List[Any]]] = {}
+        for req, bucket, payload in reqs_with_buckets:
+            entry = self._match_prefix(req) if self.prefixes else None
+            key = (bucket, entry.plen if entry else 0)
+            by_key.setdefault(key, (entry, []))[1].append((req, payload))
+        return by_key
+
+    def _prefix_prefill_rows(self, reqs, bucket: int, plen: int):
+        """Left-padded suffix rows + mask for a prefix-hit admission group."""
+        sb = bucket - plen
+        rows = []
+        mask = np.zeros((len(reqs), sb), np.int32)
+        for i, req in enumerate(reqs):
+            slen = req.embeds.shape[0] - plen
+            e = req.dev_embeds if req.dev_embeds is not None else jnp.asarray(req.embeds)
+            rows.append(jnp.pad(e[plen:], ((sb - slen, 0), (0, 0))))
+            mask[i, sb - slen:] = 1
+        return jnp.stack(rows), jnp.asarray(mask)
+
+
+class ContinuousBatcher(PrefixCacheMixin):
     def __init__(
         self,
         llm_params: Dict[str, Any],
@@ -151,69 +242,15 @@ class ContinuousBatcher:
             lambda seen, slot: seen.at[slot].set(False), donate_argnums=(0,)
         )
         self._prefill_cache: Dict[int, Callable] = {}
-        self._prefill_prefix_cache: Dict[Tuple[int, int], Callable] = {}
-        self.prefixes: List[PrefixEntry] = []
-        self.prefix_hits = 0
-        # registered-prefix KV is device memory ((L, Hkv, plen, D) each);
-        # cap the registry and evict the least-recently-hit entry past it
-        self.max_prefixes = 8
+        self._init_prefix_cache()
 
-    # ------------------------------------------------------------------
-    # prefix KV cache: register a shared prompt prefix once (system prompt,
-    # chat history, agent transcript); matching requests skip its prefill
-    # FLOPs. The reference re-prefills the full transcript every turn.
-    # ------------------------------------------------------------------
+    @property
+    def _cache_dtype(self):
+        return self.cache_k.dtype
 
-    def register_prefix(self, embeds: np.ndarray, *, quantum: int = 128) -> int:
-        """Prefill ``embeds`` once and cache its KV. Subsequent requests whose
-        prompt starts with these embed rows (bit-exact) prefill only the
-        remainder. The cached length is floored to a ``quantum`` multiple so
-        the chunked-prefill jit shapes stay bucketed. Returns the cached
-        length in tokens (0 = too short to cache)."""
-        plen = (embeds.shape[0] // quantum) * quantum
-        if plen == 0:
-            return 0
-        rows = embeds[:plen]
-        digest = _digest_rows(rows)
-        for e in self.prefixes:
-            if e.plen == plen and e.digest == digest:
-                return plen
-        logits, cache = self._prefill_fn(plen)(
-            self.params, jnp.asarray(rows)[None],
-            jnp.ones((1, plen), jnp.int32),
-        )
-        del logits
-        self.prefixes.append(PrefixEntry(
-            digest=digest, plen=plen,
-            k=cache.k[:, 0, :, :plen], v=cache.v[:, 0, :, :plen],
-            last_used=self.prefix_hits,
-        ))
-        if len(self.prefixes) > self.max_prefixes:
-            self.prefixes.remove(min(self.prefixes, key=lambda e: e.last_used))
-        self.prefixes.sort(key=lambda e: -e.plen)
-        return plen
-
-    def _match_prefix(self, req: Request) -> Optional[PrefixEntry]:
-        # longest registered prefix that leaves >= 1 suffix token (the chunked
-        # prefill computes next-token logits from the suffix's last row)
-        for e in self.prefixes:
-            if req.embeds.shape[0] > e.plen and _digest_rows(req.embeds[: e.plen]) == e.digest:
-                e.last_used = self.prefix_hits
-                return e
-        return None
-
-    def _prefill_prefix_fn(self, bucket: int, plen: int):
-        key = (bucket, plen)
-        if key not in self._prefill_prefix_cache:
-            self._prefill_prefix_cache[key] = jax.jit(
-                lambda p, e, m, pk, pv: internlm2.prefill_with_prefix(
-                    p, self.cfg, inputs_embeds=e, attention_mask=m,
-                    prefix_k=pk, prefix_v=pv, max_len=self.max_len,
-                    policy=self.policy, use_flash=self.use_flash,
-                    cache_dtype=self.cache_k.dtype, mesh=self.mesh,
-                )
-            )
-        return self._prefill_prefix_cache[key]
+    def _prefix_prefill_max_len(self, bucket: int) -> int:
+        del bucket  # _insert slices the bucket region out of a max_len cache
+        return self.max_len
 
     # ------------------------------------------------------------------
 
@@ -298,31 +335,21 @@ class ContinuousBatcher:
         # prefill; prefix-cache hits share one chunked-prefill program
         take = self.queue[: len(free)]
         del self.queue[: len(take)]
-        by_key: Dict[Tuple[int, int], Tuple[Optional[PrefixEntry], List[Request]]] = {}
+        admissible = []
         for req in take:
             bucket = self._admission_bucket(req)
-            if bucket is None:
-                continue
-            entry = self._match_prefix(req) if self.prefixes else None
-            key = (bucket, entry.plen if entry else 0)
-            by_key.setdefault(key, (entry, []))[1].append(req)
+            if bucket is not None:
+                admissible.append((req, bucket, req))
         it = iter(free)
-        for (bucket, plen), (entry, reqs) in by_key.items():
+        for (bucket, plen), (entry, pairs) in self._group_admissions(admissible).items():
+            reqs = [r for r, _ in pairs]
             # jit caches one program per (bucket, plen, n) shape; n <= num_slots
             # and the persistent compilation cache makes each a one-time cost.
             # rows were h2d'd at submit(); left-pad on device (no host copy)
             if plen:
-                sb = bucket - plen  # suffix region size
-                rows = []
-                mask = np.zeros((len(reqs), sb), np.int32)
-                for i, req in enumerate(reqs):
-                    slen = req.embeds.shape[0] - plen
-                    e = req.dev_embeds if req.dev_embeds is not None else jnp.asarray(req.embeds)
-                    rows.append(jnp.pad(e[plen:], ((sb - slen, 0), (0, 0))))
-                    mask[i, sb - slen:] = 1
+                stack, mask = self._prefix_prefill_rows(reqs, bucket, plen)
                 logits, cache = self._prefill_prefix_fn(bucket, plen)(
-                    self.params, jnp.stack(rows), jnp.asarray(mask),
-                    entry.k, entry.v,
+                    self.params, stack, mask, entry.k, entry.v,
                 )
                 self.prefix_hits += len(reqs)
             else:

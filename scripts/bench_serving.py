@@ -81,8 +81,8 @@ def main(argv=None):
         )
 
     rng = np.random.RandomState(0)
-    if args.prefix_cache and (args.paged or not args.shared_prefix):
-        p.error("--prefix-cache needs --shared-prefix and the non-paged batcher")
+    if args.prefix_cache and not args.shared_prefix:
+        p.error("--prefix-cache needs --shared-prefix")
     shared_ids = rng.randint(10, 90000, args.shared_prefix).astype(np.int32)
     shared_embeds = (
         np.asarray(

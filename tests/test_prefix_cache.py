@@ -193,3 +193,37 @@ def test_scheduler_loop_auto_prefix_multiturn():
     assert n_reg0 == 0 and hits0 == 0
     assert n_reg >= 1
     assert hits >= 1  # turn 2 reused turn 1's registered prefix
+
+
+def test_paged_batcher_prefix_cache_token_parity():
+    """Same contract on the paged scheduler: prefix hits prefill only the
+    suffix, the prefix KV lands in the request's own pages, tokens match."""
+    from callireader_tpu.runtime.paged_cache import PagedBatcher
+
+    params = _params()
+    rng = np.random.default_rng(1)
+    prefix_ids = [1] + list(rng.integers(2, 50, size=19))
+    prompts = [
+        prefix_ids + list(rng.integers(2, 50, size=n)) for n in (3, 6)
+    ] + [[1, 9, 2, 7]]  # no prefix match
+
+    def run(register: bool):
+        b = PagedBatcher(
+            params, CFG, num_slots=3, num_pages=16, page_size=64,
+            max_pages_per_slot=4, policy=FP32_POLICY, use_flash=False,
+            cache_dtype=jnp.float32,
+        )
+        if register:
+            assert b.register_prefix(
+                _embeds(params, np.asarray(prefix_ids)[None])[0], quantum=4
+            ) == 20
+        for uid, ids in enumerate(prompts):
+            b.submit(Request(uid, _embeds(params, np.asarray(ids)[None])[0],
+                             max_new_tokens=6, eos_token_ids=(-1,)))
+        done = b.run()
+        return {r.uid: r.tokens for r in done}, b.prefix_hits
+
+    base, _ = run(register=False)
+    cached, hits = run(register=True)
+    assert hits == 2
+    assert cached == base
