@@ -49,6 +49,7 @@ class _Slot:
     pages: List[int]
     start: int      # first valid token offset inside the first page region
     length: int     # absolute token count written (incl. left pad region)
+    seq: int = 0    # admission order — preemption picks the youngest (max)
 
 
 class PagedBatcher(PrefixCacheMixin):
@@ -77,6 +78,7 @@ class PagedBatcher(PrefixCacheMixin):
         interpret: bool = False,
         steps_per_sync: int = 1,
         mesh=None,
+        alloc_watermark: Optional[int] = None,
     ):
         self.params = llm_params
         self.cfg = cfg
@@ -119,6 +121,19 @@ class PagedBatcher(PrefixCacheMixin):
         self.last_logits = jnp.zeros((num_slots, cfg.vocab_size), jnp.float32)
         self.queue: List[Request] = []
         self.done: List[Request] = []
+        # pages are allocated LAZILY: admission takes only the prompt's pages
+        # and decode growth allocates one page at a time, so HBM really does
+        # scale with live tokens (not with max_new_tokens worst cases). The
+        # watermark keeps a small reserve out of admission's reach so running
+        # decodes can grow before preemption kicks in (vLLM's 1% watermark).
+        self.watermark = num_slots if alloc_watermark is None else alloc_watermark
+        self.n_preempted = 0
+        self._admit_seq = 0
+        # folds a preempted request's generated ids back into prompt embeds
+        # (float32 — prefill casts to compute dtype, so replay matches decode)
+        self._embed_rows = jax.jit(
+            lambda p, ids: internlm2.embed_tokens(p, ids, jnp.float32)
+        )
 
         from callireader_tpu.runtime.serving import _pick_tokens
 
@@ -141,6 +156,9 @@ class PagedBatcher(PrefixCacheMixin):
 
     def _prefix_prefill_max_len(self, bucket: int) -> int:
         return bucket  # _insert_pages consumes exactly the bucket region
+
+    def _prefix_capacity(self) -> int:
+        return self.P * self.page
 
     # ------------------------------------------------------------------
 
@@ -284,11 +302,17 @@ class PagedBatcher(PrefixCacheMixin):
 
     # ------------------------------------------------------------------
 
+    @property
+    def slot_req(self) -> List[Optional[Request]]:
+        """ContinuousBatcher-compatible view for the HTTP scheduler loop."""
+        return [s.req if s is not None else None for s in self.slots]
+
     def submit(self, req: Request) -> None:
         # h2d the prompt embeds now so the transfer overlaps in-flight decode
         # (see runtime/serving.ContinuousBatcher.submit)
         if req.dev_embeds is None:
             req.dev_embeds = jnp.asarray(req.embeds)
+        self._prehash(req)
         self.queue.append(req)
 
     def _reject(self, req: Request, why: str) -> None:
@@ -296,10 +320,62 @@ class PagedBatcher(PrefixCacheMixin):
         req.error = why
         self.done.append(req)
 
+    def _preempt(self, s: int) -> None:
+        """vLLM-style preempt-and-recompute: free the slot's pages and requeue
+        its request at the front, with the tokens generated so far folded into
+        the prompt embeds — re-admission replays them through one prefill (a
+        registered prefix makes that prefill chunked and cheap) and decode
+        resumes exactly where it stopped."""
+        slot = self.slots[s]
+        req = slot.req
+        if req.tokens:
+            emb = np.asarray(
+                self._embed_rows(self.params, jnp.asarray([req.tokens], jnp.int32))[0]
+            ).astype(req.embeds.dtype)
+            req.embeds = np.concatenate([req.embeds, emb], axis=0)
+            req.dev_embeds = None  # stale; re-h2d at re-admission
+        self.pool.release(slot.pages)
+        self.slots[s] = None
+        self._pending[s] = None
+        self.queue.insert(0, req)
+        self.n_preempted += 1
+
+    def _grow(self, s: int, need: int) -> bool:
+        """Grow slot ``s``'s pages until they cover ``need`` tokens. When the
+        pool runs dry, preempt the youngest OTHER slot and retry; if no other
+        slot exists the pool itself cannot hold this request — fail it (never
+        the server). Returns False when the slot no longer exists or hit the
+        architectural P-page cap (caller retires it as length-finished)."""
+        slot = self.slots[s]
+        while len(slot.pages) * self.page < need:
+            if len(slot.pages) >= self.P:
+                return False
+            if not self.pool.free:
+                victims = [
+                    (self.slots[t].seq, t)
+                    for t in range(self.B)
+                    if t != s and self.slots[t] is not None
+                ]
+                if not victims:
+                    self.pool.release(slot.pages)
+                    self.slots[s] = None
+                    self._pending[s] = None
+                    self._reject(
+                        slot.req,
+                        f"page pool exhausted mid-decode with nothing to "
+                        f"preempt (need {need} tokens)",
+                    )
+                    return False
+                self._preempt(max(victims)[1])
+            slot.pages.extend(self.pool.alloc(1))
+        return True
+
     def _admit(self) -> None:
         # take as many queued requests as free slots + pages allow, grouped by
         # prompt bucket: an n-row prefill amortizes the weight reads that
-        # dominate 1-row prefill
+        # dominate 1-row prefill. Only the PROMPT's pages are taken here —
+        # decode growth allocates lazily (see _grow), so admission doesn't
+        # hoard pages for generation that may never happen.
         free_slots = [s for s in range(self.B) if self.slots[s] is None]
         taken: List[Tuple[Request, int, List[int]]] = []  # (req, bucket, pages)
         cap = self.P * self.page
@@ -327,8 +403,10 @@ class PagedBatcher(PrefixCacheMixin):
                     f"capacity {cap} ({self.P} pages x {self.page})",
                 )
                 continue
-            n_pages = min(self.P, -(-(bucket + req.max_new_tokens) // self.page))
-            if len(self.pool.free) < n_pages:
+            n_pages = bucket // self.page
+            # watermark: leave growth headroom for the decodes already running
+            reserve = self.watermark if any(s is not None for s in self.slots) or taken else 0
+            if len(self.pool.free) < n_pages + reserve:
                 break  # backpressure: wait for pages
             self.queue.pop(0)
             taken.append((req, bucket, self.pool.alloc(n_pages)))
@@ -337,7 +415,8 @@ class PagedBatcher(PrefixCacheMixin):
 
         it = iter(free_slots)
         grouped = self._group_admissions([(r, b, p) for r, b, p in taken])
-        for (bucket, plen), (entry, group) in grouped.items():
+        for (bucket, _dig), (entry, group) in grouped.items():
+            plen = entry.plen if entry is not None else 0
             # n <= num_slots jit variants per (bucket, plen), one-time compile
             # cost. rows were h2d'd at submit(); left-pad on device
             if plen:
@@ -370,12 +449,19 @@ class PagedBatcher(PrefixCacheMixin):
                     cache.v[:, i : i + 1], self.vpool, ids
                 )
                 self.last_logits = self.last_logits.at[s].set(logits[i])
+                self._admit_seq += 1
                 self.slots[s] = _Slot(
                     req=req, pages=pages, start=bucket - req.embeds.shape[0],
-                    length=bucket,
+                    length=bucket, seq=self._admit_seq,
                 )
                 self.seen = self._clear_seen(self.seen, s)
-                req.tokens = []
+                if req.tokens:
+                    # resumed after preemption: its generated ids were folded
+                    # into the prompt; re-mark them for repetition-penalty
+                    # parity with the uninterrupted run
+                    self.seen = self.seen.at[s, jnp.asarray(req.tokens)].set(True)
+                else:
+                    req.tokens = []
                 if self.steps_per_sync > 1:
                     # device ref: admits pipeline; resolved in _step_windowed
                     self._pending[s] = jnp.argmax(logits[i])
@@ -398,13 +484,19 @@ class PagedBatcher(PrefixCacheMixin):
             req = slot.req
             tok = int(next_tokens[s])
             req.tokens.append(tok)
-            cap = len(slot.pages) * self.page
             if tok in req.eos_token_ids or len(req.tokens) >= req.max_new_tokens or (
-                slot.length + 1 >= cap
+                slot.length + 1 >= self.P * self.page  # architectural cap
             ):
                 self.done.append(req)
                 self.pool.release(slot.pages)
                 self.slots[s] = None
+
+        # lazy growth: every survivor needs capacity for the token the decode
+        # below will write at offset `length`; exhaustion preempts the
+        # youngest other slot (its request requeues and replays)
+        for s in range(self.B):
+            if self.slots[s] is not None:
+                self._grow(s, self.slots[s].length + 1)
 
         still = [s for s in range(self.B) if self.slots[s] is not None]
         if still:
@@ -448,7 +540,7 @@ class PagedBatcher(PrefixCacheMixin):
                 req = slot.req
                 req.tokens.append(tok)
                 self.seen = self.seen.at[s, tok].set(True)
-                if tok in req.eos_token_ids or req.max_new_tokens <= 1:
+                if tok in req.eos_token_ids or len(req.tokens) >= req.max_new_tokens:
                     self.done.append(req)
                     self.pool.release(slot.pages)
                     self.slots[s] = None
@@ -458,6 +550,13 @@ class PagedBatcher(PrefixCacheMixin):
             active = [s for s in active if self.slots[s] is not None]
             if not active:
                 return 0
+        # lazy growth: the window writes at length..length+k-1 per slot
+        for s in list(active):
+            if self.slots[s] is not None:
+                self._grow(s, self.slots[s].length + k)
+        active = [s for s in active if self.slots[s] is not None]
+        if not active:
+            return 0
         next_tokens = np.zeros(self.B, np.int32)
         pens = np.ones(self.B, np.float32)
         page_table = np.zeros((self.B, self.P), np.int32)
@@ -481,7 +580,7 @@ class PagedBatcher(PrefixCacheMixin):
         for s in active:
             slot = self.slots[s]
             req = slot.req
-            cap = len(slot.pages) * self.page
+            cap = self.P * self.page  # architectural cap; _grow covers the rest
             retired = False
             for j in range(k):
                 tok = int(window[j, s])

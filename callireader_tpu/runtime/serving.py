@@ -57,6 +57,10 @@ class Request:
     # device-resident copy of `embeds`, populated at submit() so the h2d
     # transfer overlaps the in-flight decode instead of stalling admission
     dev_embeds: Optional[Any] = None
+    # memoized prefix digests: plen -> sha1 of embeds[:plen]. Populated at
+    # submit() (handler thread) so the scheduler thread's admission matching
+    # never hashes multi-MB prompt rows (it stalls decode ticks otherwise)
+    digests: Dict[int, bytes] = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -97,36 +101,91 @@ class PrefixCacheMixin:
         """Prefill ``embeds`` once and cache its KV. Subsequent requests whose
         prompt starts with these embed rows (bit-exact) prefill only the
         remainder. The cached length is floored to a ``quantum`` multiple so
-        the chunked-prefill jit shapes stay bucketed. Returns the cached
-        length in tokens (0 = too short to cache)."""
-        plen = (embeds.shape[0] // quantum) * quantum
-        if plen == 0:
+        the chunked-prefill jit shapes stay bucketed, and clamped below the
+        batcher's cache capacity (a hit must leave suffix room). If a shorter
+        registered prefix already covers the leading rows, only the delta is
+        prefilled (chunked, over the cached KV) — multi-turn auto-registration
+        then costs one small suffix prefill per turn instead of re-prefilling
+        the whole transcript. Returns the cached length in tokens (0 = not
+        cacheable)."""
+        cap = self._prefix_capacity()
+        plen = (min(embeds.shape[0], cap - quantum) // quantum) * quantum
+        if plen <= 0:
             return 0
         rows = embeds[:plen]
         digest = _digest_rows(rows)
-        for e in self.prefixes:
+        base: Optional[PrefixEntry] = None
+        for e in self.prefixes:  # kept sorted by -plen: first hit is longest
             if e.plen == plen and e.digest == digest:
+                e.last_used = self.prefix_hits
                 return plen
-        logits, cache = self._prefill_fn(plen)(
-            self.params, jnp.asarray(rows)[None],
-            jnp.ones((1, plen), jnp.int32),
-        )
-        del logits
+            if (
+                base is None
+                and e.plen < plen
+                and _digest_rows(rows[: e.plen]) == e.digest
+            ):
+                base = e
+        if base is not None:
+            k, v = self._extend_prefix_kv(base, rows[base.plen:])
+        else:
+            logits, cache = self._prefill_fn(plen)(
+                self.params, jnp.asarray(rows)[None],
+                jnp.ones((1, plen), jnp.int32),
+            )
+            del logits
+            k, v = cache.k[:, 0, :, :plen], cache.v[:, 0, :, :plen]
         self.prefixes.append(PrefixEntry(
-            digest=digest, plen=plen,
-            k=cache.k[:, 0, :, :plen], v=cache.v[:, 0, :, :plen],
-            last_used=self.prefix_hits,
+            digest=digest, plen=plen, k=k, v=v, last_used=self.prefix_hits,
         ))
         if len(self.prefixes) > self.max_prefixes:
             self.prefixes.remove(min(self.prefixes, key=lambda e: e.last_used))
         self.prefixes.sort(key=lambda e: -e.plen)
         return plen
 
+    def _extend_prefix_kv(self, base: PrefixEntry, suffix_rows: np.ndarray):
+        """KV for ``[base | suffix_rows]`` via one chunked prefill over the
+        base entry's cached KV — the registration analogue of a prefix-hit
+        admission. suffix_rows is unpadded, so the returned layout is exactly
+        ``[prefix | suffix]`` at rows [0, total)."""
+        sb = int(suffix_rows.shape[0])
+        total = base.plen + sb
+        key = ("ext", base.plen, sb)
+        if key not in self._prefill_prefix_cache:
+            self._prefill_prefix_cache[key] = jax.jit(
+                lambda p, e, m, pk, pv: internlm2.prefill_with_prefix(
+                    p, self.cfg, inputs_embeds=e, attention_mask=m,
+                    prefix_k=pk, prefix_v=pv, max_len=total,
+                    policy=self.policy, use_flash=self.use_flash,
+                    cache_dtype=self._cache_dtype, mesh=self.mesh,
+                )
+            )
+        logits, cache = self._prefill_prefix_cache[key](
+            self.params, jnp.asarray(suffix_rows)[None],
+            jnp.ones((1, sb), jnp.int32), base.k, base.v,
+        )
+        del logits
+        return cache.k[:, 0, :, :total], cache.v[:, 0, :, :total]
+
+    def _req_digest(self, req: Request, plen: int) -> bytes:
+        d = req.digests.get(plen)
+        if d is None:
+            d = _digest_rows(req.embeds[:plen])
+            req.digests[plen] = d
+        return d
+
+    def _prehash(self, req: Request) -> None:
+        """Memoize the request's digests at the currently registered plens —
+        called from submit() (handler thread) so admission matching on the
+        scheduler thread is dictionary lookups, not multi-MB sha1 passes."""
+        for e in self.prefixes:
+            if req.embeds.shape[0] > e.plen:
+                self._req_digest(req, e.plen)
+
     def _match_prefix(self, req: Request) -> Optional[PrefixEntry]:
         # longest registered prefix that leaves >= 1 suffix token (the chunked
         # prefill computes next-token logits from the suffix's last row)
         for e in self.prefixes:
-            if req.embeds.shape[0] > e.plen and _digest_rows(req.embeds[: e.plen]) == e.digest:
+            if req.embeds.shape[0] > e.plen and self._req_digest(req, e.plen) == e.digest:
                 e.last_used = self.prefix_hits
                 return e
         return None
@@ -146,11 +205,17 @@ class PrefixCacheMixin:
         return self._prefill_prefix_cache[key]
 
     def _group_admissions(self, reqs_with_buckets):
-        """(req, bucket, payload) triples -> {(bucket, plen): (entry, [(req, payload)])}."""
-        by_key: Dict[Tuple[int, int], Tuple[Optional[PrefixEntry], List[Any]]] = {}
+        """(req, bucket, payload) triples -> {(bucket, digest): (entry, [(req, payload)])}.
+
+        Keyed by the matched entry's DIGEST, not its plen: two different
+        registered prefixes can share a (quantized) length, and collapsing
+        their hits into one group would prefill every request in it against
+        the first entry's KV — wrong generations + cross-conversation KV
+        leakage. Callers read plen off the group's entry."""
+        by_key: Dict[Tuple[int, bytes], Tuple[Optional[PrefixEntry], List[Any]]] = {}
         for req, bucket, payload in reqs_with_buckets:
             entry = self._match_prefix(req) if self.prefixes else None
-            key = (bucket, entry.plen if entry else 0)
+            key = (bucket, entry.digest if entry is not None else b"")
             by_key.setdefault(key, (entry, []))[1].append((req, payload))
         return by_key
 
@@ -252,6 +317,9 @@ class ContinuousBatcher(PrefixCacheMixin):
         del bucket  # _insert slices the bucket region out of a max_len cache
         return self.max_len
 
+    def _prefix_capacity(self) -> int:
+        return self.max_len
+
     # ------------------------------------------------------------------
 
     def _prefill_fn(self, bucket: int):
@@ -300,6 +368,7 @@ class ContinuousBatcher(PrefixCacheMixin):
         # device-resident (prefill pipelining, the batch_prepare trick)
         if req.dev_embeds is None:
             req.dev_embeds = jnp.asarray(req.embeds)
+        self._prehash(req)
         self.queue.append(req)
 
     def _reject(self, req: Request, why: str) -> None:
@@ -341,7 +410,8 @@ class ContinuousBatcher(PrefixCacheMixin):
             if bucket is not None:
                 admissible.append((req, bucket, req))
         it = iter(free)
-        for (bucket, plen), (entry, pairs) in self._group_admissions(admissible).items():
+        for (bucket, _dig), (entry, pairs) in self._group_admissions(admissible).items():
+            plen = entry.plen if entry is not None else 0
             reqs = [r for r, _ in pairs]
             # jit caches one program per (bucket, plen, n) shape; n <= num_slots
             # and the persistent compilation cache makes each a one-time cost.

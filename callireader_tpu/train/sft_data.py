@@ -33,10 +33,16 @@ MapFn = Callable[[Dict], Dict]
 
 
 def alpaca_map_fn(example: Dict) -> Dict:
-    inp = example.get("input", "")
-    instr = example["instruction"]
-    text = instr if not inp or inp == "<noinput>" else f"{instr}\n{inp}"
-    return {"conversation": [{"input": text, "output": example["output"]}]}
+    """Reference semantics (dataset_map_fns/alpaca_map_fn.py:4-13): records
+    whose output is the ``<nooutput>`` sentinel are dropped entirely, and
+    instruction+input are always joined with a newline (including when input
+    is empty or ``<noinput>`` — the reference does not special-case it)."""
+    if example.get("output") == "<nooutput>":
+        return {"conversation": []}
+    return {"conversation": [{
+        "input": f"{example['instruction']}\n{example.get('input', '')}",
+        "output": example["output"],
+    }]}
 
 
 def openai_map_fn(example: Dict) -> Dict:

@@ -83,6 +83,9 @@ def main(argv=None):
     rng = np.random.RandomState(0)
     if args.prefix_cache and not args.shared_prefix:
         p.error("--prefix-cache needs --shared-prefix")
+    if args.shared_prefix >= args.prompt_len:
+        # >=: the prefix-hit path needs at least one suffix token
+        p.error("--shared-prefix must be < --prompt-len")
     shared_ids = rng.randint(10, 90000, args.shared_prefix).astype(np.int32)
     shared_embeds = (
         np.asarray(

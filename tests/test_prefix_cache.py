@@ -153,6 +153,100 @@ def test_register_prefix_quantum_and_dedup():
     assert b.register_prefix(e[:3], quantum=4) == 0  # too short
 
 
+def test_register_prefix_clamped_to_capacity():
+    """A prompt longer than the batcher's cache must register a CLAMPED
+    prefix (hits need suffix room; the old code crashed inside prefill)."""
+    params = _params()
+    b = ContinuousBatcher(
+        params, CFG, num_slots=2, max_len=64, policy=FP32_POLICY,
+        use_flash=False, cache_dtype=jnp.float32,
+    )
+    e = _embeds(params, (np.arange(100) % 50 + 1)[None])[0]  # 100 > max_len
+    assert b.register_prefix(e, quantum=16) == 48  # min(100, 64-16) floor 16
+    assert b.prefixes[0].plen == 48
+
+
+def test_distinct_prefixes_same_length_same_admission_batch():
+    """Two conversations whose registered prefixes have the SAME quantized
+    length must not collapse into one admission group — each request has to
+    prefill over ITS OWN prefix KV (the bug keyed groups by (bucket, plen)
+    and ran everyone over the first entry's KV)."""
+    params = _params()
+    rng = np.random.default_rng(7)
+    pre_a = [1] + list(rng.integers(2, 50, size=19))
+    pre_b = [2] + list(rng.integers(2, 50, size=19))  # same length, different
+    prompts = [
+        pre_a + list(rng.integers(2, 50, size=5)),
+        pre_b + list(rng.integers(2, 50, size=5)),
+        pre_a + list(rng.integers(2, 50, size=7)),
+        pre_b + list(rng.integers(2, 50, size=7)),
+    ]
+
+    def run(register: bool):
+        b = ContinuousBatcher(
+            params, CFG, num_slots=4, max_len=256, policy=FP32_POLICY,
+            use_flash=False, cache_dtype=jnp.float32,
+        )
+        if register:
+            assert b.register_prefix(_embeds(params, np.asarray(pre_a)[None])[0], quantum=4) == 20
+            assert b.register_prefix(_embeds(params, np.asarray(pre_b)[None])[0], quantum=4) == 20
+        for uid, ids in enumerate(prompts):
+            b.submit(Request(uid, _embeds(params, np.asarray(ids)[None])[0],
+                             max_new_tokens=6, eos_token_ids=(-1,)))
+        done = b.run()
+        return {r.uid: r.tokens for r in done}, b.prefix_hits
+
+    base, _ = run(register=False)
+    cached, hits = run(register=True)
+    assert hits == 4  # every request hit its own prefix
+    assert cached == base
+
+
+def test_register_prefix_incremental_extension():
+    """Registering a prompt that extends an already-registered prefix must
+    prefill only the delta (chunked over the base KV) and still produce a
+    KV-identical entry — multi-turn auto-registration then costs one suffix
+    prefill per turn, not a whole-transcript prefill."""
+    params = _params()
+    rng = np.random.default_rng(3)
+    base_ids = [1] + list(rng.integers(2, 50, size=7))      # plen 8
+    full_ids = base_ids + list(rng.integers(2, 50, size=8))  # plen 16
+
+    b = ContinuousBatcher(
+        params, CFG, num_slots=2, max_len=256, policy=FP32_POLICY,
+        use_flash=False, cache_dtype=jnp.float32,
+    )
+    assert b.register_prefix(_embeds(params, np.asarray(base_ids)[None])[0], quantum=4) == 8
+    assert b.register_prefix(_embeds(params, np.asarray(full_ids)[None])[0], quantum=4) == 16
+    assert len(b.prefixes) == 2
+    assert ("ext", 8, 8) in b._prefill_prefix_cache  # the delta program ran
+
+    # the extended entry's KV must equal a from-scratch registration's
+    b2 = ContinuousBatcher(
+        params, CFG, num_slots=2, max_len=256, policy=FP32_POLICY,
+        use_flash=False, cache_dtype=jnp.float32,
+    )
+    assert b2.register_prefix(_embeds(params, np.asarray(full_ids)[None])[0], quantum=4) == 16
+    ext = max(b.prefixes, key=lambda e: e.plen)
+    scratch = b2.prefixes[0]
+    np.testing.assert_allclose(np.asarray(ext.k), np.asarray(scratch.k), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ext.v), np.asarray(scratch.v), atol=1e-4)
+
+    # and end-to-end: a request over the long prefix decodes to parity
+    tail = list(rng.integers(2, 50, size=5))
+    req_ids = full_ids + tail
+    b.submit(Request(0, _embeds(params, np.asarray(req_ids)[None])[0],
+                     max_new_tokens=6, eos_token_ids=(-1,)))
+    got = {r.uid: r.tokens for r in b.run()}
+    b3 = ContinuousBatcher(
+        params, CFG, num_slots=2, max_len=256, policy=FP32_POLICY,
+        use_flash=False, cache_dtype=jnp.float32,
+    )
+    b3.submit(Request(0, _embeds(params, np.asarray(req_ids)[None])[0],
+                      max_new_tokens=6, eos_token_ids=(-1,)))
+    assert got == {r.uid: r.tokens for r in b3.run()}
+
+
 def test_scheduler_loop_auto_prefix_multiturn():
     """HTTP front end with --prefix-cache: turn 1 registers its prompt's
     prefix; turn 2 (same conversation, history grown) hits it and produces

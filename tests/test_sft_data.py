@@ -17,8 +17,14 @@ TOK = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
 
 
 def test_map_fns():
+    # reference parity (dataset_map_fns/alpaca_map_fn.py:4-13): always join
+    # instruction+input with \n; drop <nooutput> records entirely
     a = sft_data.alpaca_map_fn({"instruction": "写一首诗", "input": "", "output": "好"})
-    assert a["conversation"][0]["input"] == "写一首诗"
+    assert a["conversation"][0]["input"] == "写一首诗\n"
+    a = sft_data.alpaca_map_fn({"instruction": "翻译", "input": "hi", "output": "你好"})
+    assert a["conversation"][0]["input"] == "翻译\nhi"
+    a = sft_data.alpaca_map_fn({"instruction": "x", "input": "y", "output": "<nooutput>"})
+    assert a["conversation"] == []
     o = sft_data.openai_map_fn(
         {"messages": [{"role": "user", "content": "q"}, {"role": "assistant", "content": "a"}]}
     )
