@@ -24,11 +24,14 @@ def _overlay_trained_assets(params: dict, cfg: VLMConfig, replaceable: set) -> N
     checkpoint are never replaced, and presets whose module architecture
     differs from the shipped checkpoints (e.g. tiny test configs) are
     skipped."""
-    from callireader_tpu.core.config import DetectorConfig, OrderFormerConfig
+    from callireader_tpu.core.config import (
+        DetectorConfig, OrderFormerConfig, ResamplerConfig,
+    )
     from callireader_tpu.models.detector import load_npz
 
     det_d = DetectorConfig()
     of_d = OrderFormerConfig()
+    res_d = ResamplerConfig()
     arch_ok = {
         # operating-point fields (conf/NMS thresholds, max_boxes pad) are
         # tunable per run and do not affect weight shapes
@@ -50,6 +53,22 @@ def _overlay_trained_assets(params: dict, cfg: VLMConfig, replaceable: set) -> N
             continue
         params[name] = load_npz(path)
         print(f"[engine] trained {name} loaded from {path}", file=sys.stderr)
+
+    # CalliAlign: LoRA deltas + small leaves over the seed-0 resampler init
+    # (train/callialign_train.py). Only valid when the WHOLE engine is the
+    # seed-0 random init (the asset was trained against that frozen ViT +
+    # align table) — build_engine puts "resampler" in `replaceable` exactly
+    # then. Checkpoint-loaded resamplers (real callialign.pth weights via
+    # runtime/weights.py) are never replaced.
+    ca_path = os.path.join(_ASSETS_DIR, "callialign.npz")
+    if ("resampler" in replaceable and cfg.resampler == res_d
+            and cfg.llm.hidden_size == 4096 and os.path.exists(ca_path)):
+        from callireader_tpu.train.callialign_train import apply_asset
+
+        import jax.numpy as jnp
+
+        params["resampler"] = apply_asset(cfg.resampler, ca_path, jnp.bfloat16)
+        print(f"[engine] trained CalliAlign loaded from {ca_path}", file=sys.stderr)
 
 
 def build_engine(
@@ -107,7 +126,9 @@ def build_engine(
             file=sys.stderr,
         )
         params = init_all_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
-        random_components = {"detector", "orderformer"}
+        # resampler is replaceable here (and only here): the CalliAlign asset
+        # is trained against exactly this seed-0 init of ViT + align table
+        random_components = {"detector", "orderformer", "resampler"}
     else:
         raise FileNotFoundError(
             f"checkpoint_dir {checkpoint_dir!r} not found; pass --random-init to run "

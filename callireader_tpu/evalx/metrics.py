@@ -58,16 +58,66 @@ def _load_t2s_table() -> dict:
     return _T2S_TABLE
 
 
+_T2S_PHRASES = None
+
+
+def _load_t2s_phrases():
+    """Curated phrase table (assets/t2s_phrases.txt) for the trad chars whose
+    simplified form is CONTEXT-DEPENDENT (乾/著/藉/祇/瀋/覆/徵...) — the
+    char table deliberately leaves those unmapped. `trad<space>simp` per
+    line; identity rows (狼藉 狼藉) protect phrases from partial matches."""
+    global _T2S_PHRASES
+    if _T2S_PHRASES is None:
+        import os
+
+        path = os.path.join(os.path.dirname(__file__), "..", "assets",
+                            "t2s_phrases.txt")
+        table = {}
+        with open(path, encoding="utf-8") as f:
+            for line in f:
+                parts = line.strip().split()
+                if len(parts) == 2:
+                    table[parts[0]] = parts[1]
+        maxlen = max((len(k) for k in table), default=1)
+        _T2S_PHRASES = (table, maxlen)
+    return _T2S_PHRASES
+
+
+def _t2s_fallback(text: str) -> str:
+    """Longest-match phrase conversion over the bundled tables — the offline
+    stand-in for OpenCC's phrase-aware t2s (its TSPhrases pass). Scans left
+    to right: longest phrase hit first, then the char table."""
+    phrases, maxlen = _load_t2s_phrases()
+    chars = _load_t2s_table()
+    out = []
+    i, n = 0, len(text)
+    while i < n:
+        hit = None
+        for ln in range(min(maxlen, n - i), 1, -1):
+            cand = phrases.get(text[i : i + ln])
+            if cand is not None:
+                hit = (cand, ln)
+                break
+        if hit is not None:
+            out.append(hit[0])
+            i += hit[1]
+        else:
+            out.append(chars.get(ord(text[i]), text[i]))
+            i += 1
+    return "".join(out)
+
+
 def t2s(text: str) -> str:
     """Traditional->simplified: OpenCC (phrase-aware) when present, the
-    bundled char-level table otherwise (evaluate.py:41 parity — offline
-    CalliBench F1/NED on traditional-script outputs stays meaningful)."""
+    bundled longest-match phrase + char tables otherwise (evaluate.py:41
+    parity — offline CalliBench F1/NED on traditional-script outputs stays
+    meaningful, including the phrase-dependent characters)."""
     try:
         import opencc  # type: ignore
 
         return opencc.OpenCC("t2s").convert(text)
     except Exception:
-        return text.translate(_load_t2s_table())
+        return _t2s_fallback(text)
 
 
 def levenshtein(a: Sequence, b: Sequence) -> int:

@@ -73,27 +73,45 @@ def logical_axes(cfg: ResamplerConfig) -> Params:
     }
 
 
+LORA_MATS = ("to_q", "to_kv", "to_out", "ff1", "ff2")
+
+
 def forward(
     params: Params,
     cfg: ResamplerConfig,
     x: jax.Array,  # (B, N, E) media features
     *,
     policy: DTypePolicy = DEFAULT_POLICY,
+    lora: Params = None,
+    lora_scale: float = 1.0,
 ) -> jax.Array:
-    """-> (B, num_learns, E)."""
+    """-> (B, num_learns, E).
+
+    ``lora``: optional {name_a: (L, in, r), name_b: (L, r, out)} deltas for
+    the LORA_MATS matrices, applied functionally (h@A)@B — used by CalliAlign
+    training (train/callialign_train.py) so the 1.1 GB full matrices never
+    materialize; inference merges the deltas into params once at load."""
     B = x.shape[0]
     H, Dh = cfg.heads, cfg.dim_head
     scale = Dh**-0.5
     x = x.astype(policy.compute_dtype)
     learns = jnp.broadcast_to(params["learns"].astype(x.dtype), (B, cfg.num_learns, cfg.dim))
 
-    def body(learns, p):
+    def mm(h, p, l, name):
+        out = h @ p[name].astype(h.dtype)
+        if l is not None:
+            d = (h.astype(jnp.float32) @ l[name + "_a"]) @ l[name + "_b"]
+            out = out + (lora_scale * d).astype(out.dtype)
+        return out
+
+    def body(learns, pl):
+        p, l = pl
         xm = layer_norm(x, p["norm_media_scale"], p["norm_media_bias"], LN_EPS, policy)
         ln = layer_norm(learns, p["norm_learns_scale"], p["norm_learns_bias"], LN_EPS, policy)
 
-        q = ln @ p["to_q"].astype(ln.dtype)  # (B, n, inner)
+        q = mm(ln, p, l, "to_q")  # (B, n, inner)
         kv_in = jnp.concatenate([xm, ln], axis=1)  # (B, N+n, E)
-        kv = kv_in @ p["to_kv"].astype(kv_in.dtype)
+        kv = mm(kv_in, p, l, "to_kv")
         k, v = jnp.split(kv, 2, axis=-1)
 
         def heads(t):
@@ -105,15 +123,15 @@ def forward(
         attn = jax.nn.softmax(sim, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhij,bhjd->bhid", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(B, -1, H * Dh)
-        learns = out @ p["to_out"].astype(out.dtype) + learns
+        learns = mm(out, p, l, "to_out") + learns
 
         h = layer_norm(learns, p["ff_norm_scale"], p["ff_norm_bias"], LN_EPS, policy)
-        h = h @ p["ff1"].astype(h.dtype) + p["ff1_bias"].astype(h.dtype)
+        h = mm(h, p, l, "ff1") + p["ff1_bias"].astype(h.dtype)
         h = jax.nn.gelu(h, approximate=False)
-        h = h @ p["ff2"].astype(h.dtype) + p["ff2_bias"].astype(h.dtype)
+        h = mm(h, p, l, "ff2") + p["ff2_bias"].astype(h.dtype)
         return learns + h, None
 
-    learns, _ = jax.lax.scan(body, learns, params["layers"])
+    learns, _ = jax.lax.scan(body, learns, (params["layers"], lora))
     return layer_norm(learns, params["norm_scale"], params["norm_bias"], LN_EPS, policy)
 
 

@@ -1,0 +1,421 @@
+"""CalliAlign training: char crop -> resampler -> cosine-VQ == its own token.
+
+Trains the contract the reference ships as `callialign.pth` + `gauss_norm.pth`
+(models/perceiver_resampler.py:54-100, models/similarity.py:8-26,
+modeling_internvl_chat.py:602-637): a detected character crop runs through the
+(frozen) ViT + projector and the PerceiverResampler, and each of its
+``num_learns`` pseudo tokens must cosine-VQ (argmax over the 92553-row
+normalized token table) to the character's OWN vocab token.
+
+Environment reality: this image contains no model weights, no CalliBench
+parquet, and no CJK font. The only real calligraphy is the committed fixture
+(/root/reference/examples/0.jpg with 96 GT char boxes), so training data is
+  (a) heavily augmented fixture crops for the 85 unique fixture characters and
+  (b) deterministic procedural brush glyphs (codepoint-seeded bezier strokes,
+      train/detector_train.py make_glyph) for the other ~7k single-char vocab
+      pieces — distractor classes that keep the VQ problem honestly 7k-way.
+The reported fixture accuracy therefore validates end-to-end TRAINABILITY and
+pipeline fidelity (device bicubic resize -> ViT -> resampler -> VQ over the
+full table, on real detector crops), not open-set recognition — nothing in
+this environment could validate that.
+
+The committed asset (assets/callialign.npz) stores the trained SMALL leaves
+(learned queries + every LayerNorm + FF biases) in full and the five big
+matrices per layer as rank-``r`` LoRA deltas over the DETERMINISTIC base init
+(engine init_all_params: jax.random.split(PRNGKey(0), 7)[3]) — tens of MB
+instead of the 1.1 GB full resampler. `apply_asset` reconstructs the merged
+resampler at engine load (cli/common._overlay_trained_assets).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from callireader_tpu.core.config import ResamplerConfig, VLMConfig
+from callireader_tpu.core.dtypes import DTypePolicy, DEFAULT_POLICY
+from callireader_tpu.models import internvit, projector, resampler
+from callireader_tpu.models.resampler import LORA_MATS
+from callireader_tpu.vision import preprocess
+from callireader_tpu.vision.device_resize import bicubic_canvas
+
+RAW_BUCKET = 128  # augmented crops are kept <= this square (page-res pixels)
+FIXTURE_JPG = "/root/reference/examples/0.jpg"
+FIXTURE_JSON = "/root/reference/examples/0.json"
+
+
+# ---------------------------------------------------------------------------
+# deterministic base init (must mirror runtime/engine.init_all_params)
+# ---------------------------------------------------------------------------
+
+
+def base_resampler_params(cfg: ResamplerConfig, dtype=jnp.bfloat16):
+    """The engine's resampler init for seed 0 — split index 3 of
+    init_all_params(PRNGKey(0)). test_callialign pins equality."""
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    return resampler.init_params(ks[3], cfg, dtype)
+
+
+def align_table(vocab_size: int, hidden_size: int, dtype=jnp.bfloat16):
+    """The engine's random `align.normed_emb` for seed 0 — split index 6 of
+    init_all_params(PRNGKey(0)). This is the VQ codebook training targets."""
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    return jax.random.normal(ks[6], (vocab_size, hidden_size), jnp.float32).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# data: fixture crops + procedural glyphs
+# ---------------------------------------------------------------------------
+
+
+def single_char_vocab(tok) -> List[Tuple[int, str]]:
+    """All single-CJK-character vocab pieces [(token_id, char)] — the label
+    space (~7k; the reference's GB2312-flavored 6763 shows up in its
+    mlp_6763 ablation head, perceiver_resampler.py:117)."""
+    out = []
+    for tid in range(tok.vocab_size):
+        t = tok.convert_ids_to_tokens(tid)
+        if t and len(t) == 1 and "一" <= t <= "鿿":
+            out.append((tid, t))
+    return out
+
+
+def _to_luma(rgb: np.ndarray) -> np.ndarray:
+    if rgb.ndim == 2:
+        return rgb
+    c = rgb.astype(np.uint16)
+    return ((c[..., 0] * 299 + c[..., 1] * 587 + c[..., 2] * 114) // 1000).astype(np.uint8)
+
+
+def fixture_samples(tok, jpg: str = FIXTURE_JPG, js: str = FIXTURE_JSON,
+                    margin: float = 0.12):
+    """[(luma crop with margin, box (y1,x1,y2,x2) px, char, token_id)] for
+    every GT char whose label is a single vocab token (95 of 96; the one
+    byte-fallback char is skipped). The margin lets augmentation jitter the
+    box without running out of pixels."""
+    from PIL import Image
+
+    img = np.asarray(Image.open(jpg).convert("RGB"))
+    H, W = img.shape[:2]
+    d = json.load(open(js))
+    out = []
+    for s in d["shapes"]:
+        ids = tok.encode(s["label"], add_bos=False)
+        if len(ids) != 1:
+            continue
+        (x1, y1), (x2, y2) = s["points"]
+        x1, y1, x2, y2 = x1 * W, y1 * H, x2 * W, y2 * H
+        mw, mh = (x2 - x1) * margin, (y2 - y1) * margin
+        gx1, gy1 = max(0, int(x1 - mw)), max(0, int(y1 - mh))
+        gx2, gy2 = min(W, int(x2 + mw)), min(H, int(y2 + mh))
+        crop = _to_luma(img[gy1:gy2, gx1:gx2])
+        # box relative to the margined crop (the augmentation re-crops it)
+        rel = (int(y1) - gy1, int(x1) - gx1, int(y2) - gy1, int(x2) - gx1)
+        out.append((crop, rel, s["label"], ids[0]))
+    return out
+
+
+def glyph_for_char(char: str, size: int = 72) -> np.ndarray:
+    """Deterministic procedural glyph for a vocab char: brush-bezier strokes
+    seeded by the codepoint. Luma uint8 ink-on-paper."""
+    from callireader_tpu.train.detector_train import make_glyph
+
+    rng = np.random.RandomState((ord(char) * 2654435761) % (2**31 - 1))
+    mask = make_glyph(rng, size)  # (s, s) in [0, 1]
+    paper = rng.randint(235, 252)
+    ink = rng.randint(15, 70)
+    return np.clip(paper - mask * (paper - ink), 0, 255).astype(np.uint8)
+
+
+def augment_luma(luma: np.ndarray, rng: np.random.RandomState,
+                 box: Optional[Tuple[int, int, int, int]] = None,
+                 strength: float = 1.0) -> np.ndarray:
+    """Geometric + photometric augmentation of a luma crop. ``box`` (margined
+    fixture crops): jitter the GT box +-8% per edge before cropping —
+    simulating detector box noise. Returns luma uint8 with max edge <=
+    RAW_BUCKET."""
+    from PIL import Image, ImageFilter
+
+    a = luma
+    if box is not None:
+        y1, x1, y2, x2 = box
+        h, w = y2 - y1, x2 - x1
+        j = 0.08 * strength
+        y1 = int(np.clip(y1 + rng.uniform(-j, j) * h, 0, a.shape[0] - 2))
+        y2 = int(np.clip(y2 + rng.uniform(-j, j) * h, y1 + 2, a.shape[0]))
+        x1 = int(np.clip(x1 + rng.uniform(-j, j) * w, 0, a.shape[1] - 2))
+        x2 = int(np.clip(x2 + rng.uniform(-j, j) * w, x1 + 2, a.shape[1]))
+        a = a[y1:y2, x1:x2]
+    img = Image.fromarray(a)
+    # rotation (white fill — calligraphy columns are near-upright)
+    if rng.rand() < 0.8:
+        img = img.rotate(rng.uniform(-7, 7) * strength, resample=Image.BILINEAR,
+                         expand=True, fillcolor=255)
+    # scale wobble (the [200,350] rule renormalizes; this varies resampling)
+    if rng.rand() < 0.7:
+        s = rng.uniform(0.7, 1.25)
+        nw = max(8, int(img.width * s))
+        nh = max(8, int(img.height * s))
+        img = img.resize((nw, nh), Image.BILINEAR)
+    # ink thickness: MinFilter dilates dark strokes, MaxFilter erodes
+    r = rng.rand()
+    if r < 0.25:
+        img = img.filter(ImageFilter.MinFilter(3))
+    elif r < 0.4:
+        img = img.filter(ImageFilter.MaxFilter(3))
+    if rng.rand() < 0.3:
+        img = img.filter(ImageFilter.GaussianBlur(rng.uniform(0.3, 0.9)))
+    a = np.asarray(img).astype(np.float32)
+    # photometric: gamma + brightness/contrast + noise
+    if rng.rand() < 0.8:
+        a = 255.0 * (a / 255.0) ** rng.uniform(0.7, 1.4)
+    a = (a - 128.0) * rng.uniform(0.75, 1.15) + 128.0 + rng.uniform(-20, 20)
+    a = a + rng.normal(0, rng.uniform(1, 7 * strength), a.shape)
+    a = np.clip(a, 0, 255).astype(np.uint8)
+    m = max(a.shape)
+    if m > RAW_BUCKET:
+        img = Image.fromarray(a)
+        sc = RAW_BUCKET / m
+        a = np.asarray(img.resize((max(2, int(img.width * sc)),
+                                   max(2, int(img.height * sc))), Image.BILINEAR))
+    return a
+
+
+def pack_raw_batch(crops: Sequence[np.ndarray], input_size: int = 448):
+    """Luma crops -> (raw (B,RB,RB) uint8, src (B,2), tgt (B,2)) for the
+    on-device bicubic canvas (the engine's device_resize_chars path)."""
+    B = len(crops)
+    raw = np.full((B, RAW_BUCKET, RAW_BUCKET), 255, np.uint8)
+    src = np.ones((B, 2), np.int32)
+    tgt = np.ones((B, 2), np.int32)
+    for i, c in enumerate(crops):
+        h, w = c.shape[:2]
+        raw[i, :h, :w] = c
+        nw, nh = preprocess.char_content_dims(w, h, input_size)
+        src[i] = (h, w)
+        tgt[i] = (nh, nw)
+    return raw, src, tgt
+
+
+class BatchSampler:
+    """Mixes augmented fixture views with procedural-glyph views."""
+
+    def __init__(self, fixture, synth_classes, rng: np.random.RandomState,
+                 p_fixture: float = 0.5, strength: float = 1.0):
+        self.fixture = fixture            # [(crop, box, char, tid)]
+        self.synth = synth_classes        # [(tid, char)]
+        self._glyphs: Dict[str, np.ndarray] = {}
+        self.rng = rng
+        self.p_fixture = p_fixture
+        self.strength = strength
+
+    def _glyph(self, char: str) -> np.ndarray:
+        g = self._glyphs.get(char)
+        if g is None:
+            g = glyph_for_char(char)
+            self._glyphs[char] = g
+        return g
+
+    def sample(self, n: int):
+        crops, labels = [], []
+        rng = self.rng
+        for _ in range(n):
+            if self.fixture and rng.rand() < self.p_fixture:
+                crop, box, _c, tid = self.fixture[rng.randint(len(self.fixture))]
+                crops.append(augment_luma(crop, rng, box=box, strength=self.strength))
+            else:
+                tid, char = self.synth[rng.randint(len(self.synth))]
+                crops.append(augment_luma(self._glyph(char), rng, strength=self.strength))
+            labels.append(tid)
+        raw, src, tgt = pack_raw_batch(crops)
+        return raw, src, tgt, np.asarray(labels, np.int32)
+
+
+# ---------------------------------------------------------------------------
+# LoRA over the resampler
+# ---------------------------------------------------------------------------
+
+
+def init_lora(key: jax.Array, base_layers: Dict, rank: int) -> Dict:
+    """{name_a: (L, in, r) ~N(0, in^-0.5), name_b: (L, r, out) zeros} — the
+    delta starts at exactly 0 so step 0 is the base function."""
+    out = {}
+    ks = jax.random.split(key, len(LORA_MATS))
+    for k, name in zip(ks, LORA_MATS):
+        L, fin, fout = base_layers[name].shape
+        out[name + "_a"] = (jax.random.normal(k, (L, fin, rank), jnp.float32)
+                            * (fin ** -0.5))
+        out[name + "_b"] = jnp.zeros((L, rank, fout), jnp.float32)
+    return out
+
+
+def small_leaves(params: Dict) -> Dict:
+    """The directly-trained (non-LoRA) resampler leaves, as float32."""
+    lay = params["layers"]
+    f32 = lambda x: x.astype(jnp.float32)
+    return {
+        "learns": f32(params["learns"]),
+        "layers": {k: f32(v) for k, v in lay.items() if k not in LORA_MATS},
+        "norm_scale": f32(params["norm_scale"]),
+        "norm_bias": f32(params["norm_bias"]),
+    }
+
+
+def merge_small(base: Dict, small: Dict, dtype) -> Dict:
+    return {
+        "learns": small["learns"].astype(dtype),
+        "layers": {**base["layers"],
+                   **{k: v.astype(dtype) for k, v in small["layers"].items()}},
+        "norm_scale": small["norm_scale"].astype(dtype),
+        "norm_bias": small["norm_bias"].astype(dtype),
+    }
+
+
+def merge_full(base: Dict, trained: Dict, dtype=jnp.bfloat16,
+               lora_scale: float = 1.0) -> Dict:
+    """Materialize the merged resampler: base + LoRA deltas + trained small
+    leaves — what the engine runs at inference."""
+    merged = merge_small(base, trained["small"], dtype)
+    lora = trained["lora"]
+    for name in LORA_MATS:
+        w = base["layers"][name].astype(jnp.float32)
+        d = jnp.einsum("lir,lro->lio", lora[name + "_a"], lora[name + "_b"])
+        merged["layers"][name] = (w + lora_scale * d).astype(dtype)
+    return merged
+
+
+# ---------------------------------------------------------------------------
+# asset save / load / apply
+# ---------------------------------------------------------------------------
+
+ASSET_VERSION = 1
+
+
+def save_asset(path: str, trained: Dict, meta: Dict) -> None:
+    flat = {"meta": json.dumps({"version": ASSET_VERSION, **meta})}
+    for name, v in trained["lora"].items():
+        flat["lora/" + name] = np.asarray(v, np.float16)
+    s = trained["small"]
+    flat["small/learns"] = np.asarray(s["learns"], np.float32)
+    flat["small/norm_scale"] = np.asarray(s["norm_scale"], np.float32)
+    flat["small/norm_bias"] = np.asarray(s["norm_bias"], np.float32)
+    for k, v in s["layers"].items():
+        flat["small/layers/" + k] = np.asarray(v, np.float32)
+    np.savez_compressed(path, **flat)
+
+
+def load_asset(path: str) -> Tuple[Dict, Dict]:
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    lora, layers, small = {}, {}, {}
+    for k in z.files:
+        if k.startswith("lora/"):
+            lora[k[5:]] = jnp.asarray(z[k], jnp.float32)
+        elif k.startswith("small/layers/"):
+            layers[k[len("small/layers/"):]] = jnp.asarray(z[k])
+        elif k.startswith("small/"):
+            small[k[6:]] = jnp.asarray(z[k])
+    small["layers"] = layers
+    return {"lora": lora, "small": small}, meta
+
+
+def apply_asset(cfg: ResamplerConfig, path: str, dtype=jnp.bfloat16) -> Dict:
+    """assets/callialign.npz -> merged resampler params over the seed-0 base
+    (the engine's random init) — used by cli/common._overlay_trained_assets."""
+    trained, meta = load_asset(path)
+    base = base_resampler_params(cfg, dtype)
+    return merge_full(base, trained, dtype, lora_scale=meta.get("lora_scale", 1.0))
+
+
+# ---------------------------------------------------------------------------
+# training
+# ---------------------------------------------------------------------------
+
+
+def _encode(frozen: Dict, cfg: VLMConfig, raw, src, tgt, canvas: int,
+            policy: DTypePolicy, use_flash):
+    x = bicubic_canvas(raw, src, tgt, canvas)          # (B, canvas, canvas)
+    x = jnp.broadcast_to(x[..., None], (*x.shape, 3))
+    hidden = internvit.forward(frozen["vision"], cfg.vision, x,
+                               policy=policy, use_flash=use_flash)
+    return projector.extract_feature(frozen["projector"], hidden, cfg,
+                                     policy=policy)
+
+
+def _pseudo_normed(trainable: Dict, base_res: Dict, cfg: VLMConfig, feats,
+                   policy: DTypePolicy):
+    res = merge_small(base_res, trainable["small"], policy.compute_dtype)
+    out = resampler.forward(res, cfg.resampler, feats, policy=policy,
+                            lora=trainable["lora"])
+    out = out.astype(jnp.float32)
+    return out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+
+
+def make_step_fn(cfg: VLMConfig, canvas: int, policy: DTypePolicy, optimizer,
+                 use_flash: Optional[bool]):
+    """One jitted train step at a fixed canvas size: on-device bicubic canvas
+    -> frozen ViT+projector -> LoRA resampler -> InfoNCE over the full token
+    table. Only the (small + LoRA + logit_scale) subtree takes grads.
+
+    ``frozen``/``base_res`` are jit ARGUMENTS (device buffers), not closures —
+    closing over them bakes ~3 GB of weights into the lowered program as
+    constants (slow compile, doubled HBM)."""
+
+    def loss_fn(trainable, frozen, base_res, batch):
+        raw, src, tgt, labels = batch
+        feats = jax.lax.stop_gradient(
+            _encode(frozen, cfg, raw, src, tgt, canvas, policy, use_flash))
+        out = _pseudo_normed(trainable, base_res, cfg, feats, policy)
+        scale = jnp.minimum(jnp.exp(trainable["logit_scale"]), 100.0)
+        logits = jnp.einsum("bne,ve->bnv", out, frozen["table_n"]) * scale
+        lab = jnp.broadcast_to(labels[:, None], logits.shape[:2])
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        loss = -jnp.mean(jnp.take_along_axis(logp, lab[..., None], axis=-1))
+        acc = jnp.mean((jnp.argmax(logits, -1) == lab).astype(jnp.float32))
+        return loss, acc
+
+    def step(trainable, opt_state, frozen, base_res, batch):
+        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            trainable, frozen, base_res, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        import optax
+
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss, acc
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_eval_fn(cfg: VLMConfig, canvas: int, policy: DTypePolicy,
+                 use_flash: Optional[bool]):
+    """VQ top-1 per pseudo token + per-char majority, at a fixed canvas.
+    ``frozen``/``base_res`` are jit arguments (see make_step_fn)."""
+
+    def eval_fn(trainable, frozen, base_res, raw, src, tgt, labels):
+        feats = _encode(frozen, cfg, raw, src, tgt, canvas, policy, use_flash)
+        out = _pseudo_normed(trainable, base_res, cfg, feats, policy)
+        sims = jnp.einsum("bne,ve->bnv", out, frozen["table_n"])
+        idx = jnp.argmax(sims, axis=-1)  # (B, n_learns)
+        per_tok = jnp.mean((idx == labels[:, None]).astype(jnp.float32))
+        maj = jnp.sum((idx == labels[:, None]).astype(jnp.int32), axis=1)
+        per_char = jnp.mean((maj * 2 > idx.shape[1]).astype(jnp.float32))
+        return per_tok, per_char, idx
+
+    return jax.jit(eval_fn)
+
+
+def build_frozen(cfg: VLMConfig, dtype=jnp.bfloat16) -> Dict:
+    """Frozen towers + the normalized VQ table, from the engine's seed-0 init
+    (the LLM is never materialized — CalliAlign training doesn't need it)."""
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    vision = internvit.init_params(ks[1], cfg.vision, dtype)
+    proj = projector.init_params(ks[2], cfg, dtype)
+    table = align_table(cfg.llm.vocab_size, cfg.llm.hidden_size, dtype)
+    t = table.astype(jnp.float32)
+    t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
+    return {"vision": vision, "projector": proj, "table_n": t}

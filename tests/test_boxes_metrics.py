@@ -179,6 +179,24 @@ def test_t2s_bundled_table():
     assert metrics.t2s("乾坤著作") == "乾坤著作"  # conservative: ambiguous chars kept
     table = metrics._load_t2s_table()
     assert len(table) >= 2000
+
+
+def test_t2s_phrase_aware_fallback():
+    """Phrase-dependent characters (OpenCC TSPhrases behavior): the bundled
+    longest-match phrase table converts the dominant ambiguous cases the
+    char table must not touch (evaluate.py:41 uses the opencc library)."""
+    from callireader_tpu.evalx import metrics
+
+    cases = [
+        ("頭髮", "头发"), ("發現", "发现"),              # 髮/發 both -> 发
+        ("乾燥的餅乾", "干燥的饼干"), ("乾隆乾坤", "乾隆乾坤"),
+        ("藉口", "借口"), ("憑藉", "凭借"), ("狼藉", "狼藉"),
+        ("接著寫著名的書", "接着写著名的书"),            # 著 zhe vs zhù
+        ("瀋陽", "沈阳"), ("神祇", "神祇"), ("祇有", "只有"),
+        ("答覆", "答复"), ("顛覆", "颠覆"),
+    ]
+    for trad, simp in cases:
+        assert metrics._t2s_fallback(trad) == simp, trad
     # F1 on traditional prediction vs simplified GT is exact after t2s
     pred = metrics.t2s(metrics.get_clean_string("觀滄海，東臨碣石。"))
     gt = "观沧海东临碣石"
