@@ -260,15 +260,41 @@ def convert_orderformer(sd: Dict[str, np.ndarray], num_layers: int) -> Dict:
 # ---------------------------------------------------------------------------
 
 
+def discover_side_files(internvl_dir: str) -> Dict[str, str]:
+    """Locate the reference's torch side files next to a checkpoint dir
+    (config/configu.py:7-13,61-62 keeps them under ./params). Checks
+    ``<dir>/params/<name>`` then ``<dir>/<name>``."""
+    names = {
+        "mu_sigma": "gauss_norm_mu_sigma.pth",
+        "orderformer": "orderformer.pth",
+        "detector": "best.pt",
+    }
+    out: Dict[str, str] = {}
+    for key, fname in names.items():
+        for cand in (os.path.join(internvl_dir, "params", fname),
+                     os.path.join(internvl_dir, fname)):
+            if os.path.exists(cand):
+                out[key] = cand
+                break
+    return out
+
+
 def convert_reference_checkpoint(
     internvl_dir: str,
     cfg: VLMConfig,
     *,
     mu_sigma_path: Optional[str] = None,
     orderformer_path: Optional[str] = None,
+    detector_path: Optional[str] = None,
     dtype=np.float32,
 ) -> Dict[str, Any]:
-    """Build the engine param pytree from a deployed reference checkpoint."""
+    """Build the engine param pytree from a deployed reference checkpoint.
+    Side files (gauss_norm_mu_sigma.pth, orderformer.pth, best.pt) not passed
+    explicitly are auto-discovered under ``<dir>/params/`` or ``<dir>/``."""
+    side = discover_side_files(internvl_dir)
+    mu_sigma_path = mu_sigma_path or side.get("mu_sigma")
+    orderformer_path = orderformer_path or side.get("orderformer")
+    detector_path = detector_path or side.get("detector")
     sd = load_safetensors_dir(internvl_dir)
     params: Dict[str, Any] = {
         "llm": convert_llm(sd, cfg.llm),
@@ -287,12 +313,21 @@ def convert_reference_checkpoint(
         params["orderformer"] = convert_orderformer(
             load_torch_pth(orderformer_path), cfg.orderformer.num_layers
         )
+    if detector_path:
+        from callireader_tpu.runtime.detector_weights import load_detector
 
+        params["detector"] = load_detector(detector_path)
+
+    import jax
     import jax.numpy as jnp
 
     def cast(x):
         return jnp.asarray(x, dtype=dtype)
 
-    import jax
-
-    return jax.tree.map(cast, params)
+    # the tiny host-side priors (detector / orderformer) run in float32 —
+    # casting them to bf16 would shift box/order decisions vs their training
+    f32 = {k: jax.tree.map(lambda x: jnp.asarray(x, jnp.float32), params.pop(k))
+           for k in ("detector", "orderformer") if k in params}
+    out = jax.tree.map(cast, params)
+    out.update(f32)
+    return out

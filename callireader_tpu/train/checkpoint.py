@@ -180,6 +180,182 @@ def projector_to_reference_sd(proj: Dict[str, Any]) -> Dict[str, np.ndarray]:
     }
 
 
+def resampler_to_reference_sd(res: Dict[str, Any], cfg) -> Dict[str, np.ndarray]:
+    """Inverse of weights.convert_resampler: our stacked pytree -> the
+    deployed checkpoint's ``resampler.*`` keys (torch PerceiverResampler
+    module layout, reference models/perceiver_resampler.py:54-100)."""
+    g = lambda k: np.asarray(res[k], np.float32)
+    lay = {k: np.asarray(v, np.float32) for k, v in res["layers"].items()}
+    sd: Dict[str, np.ndarray] = {
+        "resampler.learns": g("learns"),
+        "resampler.norm.weight": g("norm_scale"),
+        "resampler.norm.bias": g("norm_bias"),
+    }
+    plain = {
+        "norm_media_scale": "0.norm_media.weight", "norm_media_bias": "0.norm_media.bias",
+        "norm_learns_scale": "0.norm_learns.weight", "norm_learns_bias": "0.norm_learns.bias",
+        "ff_norm_scale": "1.net.0.weight", "ff_norm_bias": "1.net.0.bias",
+        "ff1_bias": "1.net.1.bias", "ff2_bias": "1.net.3.bias",
+    }
+    transposed = {
+        "to_q": "0.to_q.weight", "to_kv": "0.to_kv.weight", "to_out": "0.to_out.weight",
+        "ff1": "1.net.1.weight", "ff2": "1.net.3.weight",
+    }
+    for i in range(cfg.depth):
+        pre = f"resampler.layers.{i}."
+        for ours, theirs in plain.items():
+            sd[pre + theirs] = lay[ours][i]
+        for ours, theirs in transposed.items():
+            sd[pre + theirs] = lay[ours][i].T
+    return sd
+
+
+def orderformer_to_reference_sd(of: Dict[str, Any], num_layers: int) -> Dict[str, np.ndarray]:
+    """Inverse of weights.convert_orderformer: torch nn.TransformerEncoder
+    state-dict layout (reference models/model.py:210-226), for
+    params/orderformer.pth."""
+    g = lambda k: np.asarray(of[k], np.float32)
+    lay = {k: np.asarray(v, np.float32) for k, v in of["layers"].items()}
+    sd: Dict[str, np.ndarray] = {
+        "embedding.weight": g("embed_kernel").T,
+        "embedding.bias": g("embed_bias"),
+        "decoder.weight": g("decode_kernel").T,
+        "decoder.bias": g("decode_bias"),
+    }
+    plain = {
+        "in_proj_bias": "self_attn.in_proj_bias",
+        "out_proj_bias": "self_attn.out_proj.bias",
+        "norm1_scale": "norm1.weight", "norm1_bias": "norm1.bias",
+        "norm2_scale": "norm2.weight", "norm2_bias": "norm2.bias",
+        "ff1_bias": "linear1.bias", "ff2_bias": "linear2.bias",
+    }
+    transposed = {
+        "in_proj_kernel": "self_attn.in_proj_weight",
+        "out_proj_kernel": "self_attn.out_proj.weight",
+        "ff1_kernel": "linear1.weight", "ff2_kernel": "linear2.weight",
+    }
+    for i in range(num_layers):
+        pre = f"transformer_encoder.layers.{i}."
+        for ours, theirs in plain.items():
+            sd[pre + theirs] = lay[ours][i]
+        for ours, theirs in transposed.items():
+            sd[pre + theirs] = lay[ours][i].T
+    return sd
+
+
+def detector_to_ultralytics_sd(det: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse of detector_weights.convert_yolov8: emit an ultralytics-layout
+    state dict (keys ``model.N...``) whose BN folds back to our convs exactly
+    — identity BatchNorm (gamma=1, mean=0, var=1-eps) carries the bias, so
+    fold_bn(w, 1, b, 0, 1-eps) == (w, b)."""
+    from callireader_tpu.runtime.detector_weights import BN_EPS
+
+    sd: Dict[str, np.ndarray] = {}
+
+    def conv_block(prefix: str, blk: Dict[str, np.ndarray]) -> None:
+        w = np.asarray(blk["w"], np.float32).transpose(3, 2, 0, 1)  # HWIO->OIHW
+        cout = w.shape[0]
+        sd[f"{prefix}.conv.weight"] = np.ascontiguousarray(w)
+        sd[f"{prefix}.bn.weight"] = np.ones(cout, np.float32)
+        sd[f"{prefix}.bn.bias"] = np.asarray(blk["b"], np.float32)
+        sd[f"{prefix}.bn.running_mean"] = np.zeros(cout, np.float32)
+        sd[f"{prefix}.bn.running_var"] = np.full(cout, 1.0 - BN_EPS, np.float32)
+
+    def plain_conv(prefix: str, blk: Dict[str, np.ndarray]) -> None:
+        w = np.asarray(blk["w"], np.float32).transpose(3, 2, 0, 1)
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(w)
+        sd[f"{prefix}.bias"] = np.asarray(blk["b"], np.float32)
+
+    def c2f(prefix: str, node: Dict[str, Any]) -> None:
+        conv_block(f"{prefix}.cv1", node["cv1"])
+        conv_block(f"{prefix}.cv2", node["cv2"])
+        for i, blk in enumerate(node["blocks"]):
+            conv_block(f"{prefix}.m.{i}.cv1", blk["cv1"])
+            conv_block(f"{prefix}.m.{i}.cv2", blk["cv2"])
+
+    bb, neck, head = det["backbone"], det["neck"], det["head"]
+    conv_block("model.0", bb["stem"])
+    conv_block("model.1", bb["down1"])
+    c2f("model.2", bb["c2f1"])
+    conv_block("model.3", bb["down2"])
+    c2f("model.4", bb["c2f2"])
+    conv_block("model.5", bb["down3"])
+    c2f("model.6", bb["c2f3"])
+    conv_block("model.7", bb["down4"])
+    c2f("model.8", bb["c2f4"])
+    conv_block("model.9.cv1", bb["sppf"]["cv1"])
+    conv_block("model.9.cv2", bb["sppf"]["cv2"])
+    c2f("model.12", neck["c2f_p4"])
+    c2f("model.15", neck["c2f_p3"])
+    conv_block("model.16", neck["down_p3"])
+    c2f("model.18", neck["c2f_n4"])
+    conv_block("model.19", neck["down_p4"])
+    c2f("model.21", neck["c2f_n5"])
+    for i, name in enumerate(("p3", "p4", "p5")):
+        for branch, key in (("box", "cv2"), ("cls", "cv3")):
+            b = head[name][branch]
+            conv_block(f"model.22.{key}.{i}.0", b["cv1"])
+            conv_block(f"model.22.{key}.{i}.1", b["cv2"])
+            plain_conv(f"model.22.{key}.{i}.2", b["out"])
+    return sd
+
+
+def export_full_reference_checkpoint(
+    params: Dict[str, Any],
+    cfg: VLMConfig,
+    out_dir: str,
+    *,
+    max_shard_bytes: Optional[int] = None,
+) -> str:
+    """Write a COMPLETE on-disk reference checkpoint directory: safetensors
+    shards + model.safetensors.index.json (llm/vision/mlp1/resampler/
+    normed_emb) plus every torch side file of config/configu.py:7-13,61-62 —
+    params/{gauss_norm_mu_sigma.pth, gauss_norm.pth, token_embedding.pth,
+    mlp1.pth, vit_model.pt, callialign.pth, orderformer.pth, best.pt}.
+
+    This is the deployable layout cli inference can boot from end-to-end
+    (build_engine --checkpoint auto-discovers the side files), and the
+    ingestion dry-run the environment's lack of real weights otherwise
+    forbids: export a pytree -> disk -> convert_reference_checkpoint must
+    reproduce it (tests/test_checkpoint_ingestion.py)."""
+    import torch
+
+    os.makedirs(os.path.join(out_dir, "params"), exist_ok=True)
+    export_reference_format(params, cfg, out_dir, max_shard_bytes=max_shard_bytes)
+
+    def to_torch(obj):
+        if isinstance(obj, dict):
+            return {k: to_torch(v) for k, v in obj.items()}
+        return torch.from_numpy(np.array(obj, np.float32))
+
+    def tsave(obj, name):
+        torch.save(to_torch(obj), os.path.join(out_dir, "params", name))
+
+    align = params.get("align", {})
+    if "mu" in align:
+        ms = np.stack([np.asarray(align["mu"], np.float32),
+                       np.asarray(align["sigma"], np.float32)], axis=1)
+        tsave({"weight": ms}, "gauss_norm_mu_sigma.pth")
+    if "normed_emb" in align:
+        tsave({"weight": np.asarray(align["normed_emb"], np.float32)}, "gauss_norm.pth")
+    tsave({"weight": np.asarray(params["llm"]["tok_embeddings"], np.float32)},
+          "token_embedding.pth")
+    tsave(projector_to_reference_sd(params["projector"]), "mlp1.pth")
+    tsave({k[len("vision_model."):]: v for k, v in
+           vit_to_reference_sd(params["vision"], cfg.vision).items()}, "vit_model.pt")
+    if "resampler" in params:
+        tsave({k[len("resampler."):]: v for k, v in
+               resampler_to_reference_sd(params["resampler"], cfg.resampler).items()},
+              "callialign.pth")
+    if "orderformer" in params:
+        tsave(orderformer_to_reference_sd(params["orderformer"],
+                                          cfg.orderformer.num_layers),
+              "orderformer.pth")
+    if "detector" in params:
+        tsave({"model": detector_to_ultralytics_sd(params["detector"])}, "best.pt")
+    return out_dir
+
+
 def export_reference_format(
     params: Dict[str, Any],
     cfg: VLMConfig,
@@ -208,6 +384,8 @@ def export_reference_format(
     sd.update(llm_to_reference_sd(llm, cfg.llm))
     sd.update(vit_to_reference_sd(params["vision"], cfg.vision))
     sd.update(projector_to_reference_sd(params["projector"]))
+    if "resampler" in params:
+        sd.update(resampler_to_reference_sd(params["resampler"], cfg.resampler))
     if "align" in params:
         sd["normed_emb.weight"] = np.asarray(params["align"]["normed_emb"], np.float32)
 

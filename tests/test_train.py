@@ -254,7 +254,10 @@ def test_qlora_export_dequantizes_and_merges(tmp_path):
     for f in _os.listdir(out if _os.path.isdir(out) else str(tmp_path / "exp")):
         if f.endswith(".safetensors"):
             sd.update(st.load_file(str(tmp_path / "exp" / f)))
-    assert not any("_q" in k or "_lora_" in k for k in sd)
+    # quantized leaves are named {name}_q / {name}_scale; exact-suffix match so
+    # legit reference keys like resampler.layers.N.0.to_q.weight don't trip it
+    assert not any(k.endswith("_q") or k.endswith("_scale") or "_lora_" in k
+                   for k in sd)
     assert any("attention.wqkv" in k or "wqkv" in k or "tok_embeddings" in k for k in sd)
 
 
