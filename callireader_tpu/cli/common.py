@@ -54,12 +54,14 @@ def _overlay_trained_assets(params: dict, cfg: VLMConfig, replaceable: set) -> N
         params[name] = load_npz(path)
         print(f"[engine] trained {name} loaded from {path}", file=sys.stderr)
 
-    # CalliAlign: LoRA deltas + small leaves over the seed-0 resampler init
-    # (train/callialign_train.py). Only valid when the WHOLE engine is the
-    # seed-0 random init (the asset was trained against that frozen ViT +
+    # CalliAlign: LoRA deltas + small leaves over the seed-0 resampler AND
+    # char-ViT inits (train/callialign_train.py). Only valid when the WHOLE
+    # engine is the seed-0 random init (the asset was trained against that
     # align table) — build_engine puts "resampler" in `replaceable` exactly
     # then. Checkpoint-loaded resamplers (real callialign.pth weights via
-    # runtime/weights.py) are never replaced.
+    # runtime/weights.py) are never replaced. The merged char ViT rides as
+    # params["char_vision"], the engine's analogue of the reference's
+    # separate params/vit_model.pt char-path module.
     ca_path = os.path.join(_ASSETS_DIR, "callialign.npz")
     if ("resampler" in replaceable and cfg.resampler == res_d
             and cfg.llm.hidden_size == 4096 and os.path.exists(ca_path)):
@@ -67,8 +69,10 @@ def _overlay_trained_assets(params: dict, cfg: VLMConfig, replaceable: set) -> N
 
         import jax.numpy as jnp
 
-        params["resampler"] = apply_asset(cfg.resampler, ca_path, jnp.bfloat16)
-        print(f"[engine] trained CalliAlign loaded from {ca_path}", file=sys.stderr)
+        params.update(apply_asset(cfg, ca_path, jnp.bfloat16))
+        tower = "+char_vision" if "char_vision" in params else ""
+        print(f"[engine] trained CalliAlign{tower} loaded from {ca_path}",
+              file=sys.stderr)
 
 
 def build_engine(
@@ -179,6 +183,13 @@ def build_engine(
 
     if trained_assets:
         _overlay_trained_assets(params, cfg, random_components)
+        if quant == "int8-all" and "char_vision" in params:
+            # overlay runs after the quant block; the merged char ViT gets
+            # the same W8A8 treatment as the tile tower (it IS the char-crop
+            # encode that dominates the pipeline's device time)
+            from callireader_tpu.runtime.quantize import quantize_vit_int8
+
+            params["char_vision"] = quantize_vit_int8(params["char_vision"])
 
     mesh = None
     if mesh_spec:

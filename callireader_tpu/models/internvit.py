@@ -127,6 +127,9 @@ def interp_pos_embed(pos_embed: jax.Array, grid_h: int, grid_w: int, base_grid: 
     return jnp.concatenate([cls, resized], axis=1)
 
 
+VIT_LORA_MATS = ("qkv", "proj", "fc1", "fc2")
+
+
 def forward(
     params: Params,
     cfg: VisionConfig,
@@ -137,8 +140,17 @@ def forward(
     interpret: bool = False,
     remat: bool = False,
     attn_impl: Optional[str] = None,  # None=auto | single_pass | packed | reference
+    lora: Params = None,
+    lora_scale: float = 1.0,
 ) -> jax.Array:
-    """Returns last hidden state (B, 1+num_patches, E)."""
+    """Returns last hidden state (B, 1+num_patches, E).
+
+    ``lora``: optional {name_a: (L, in, r), name_b: (L, r, out)} deltas for
+    the VIT_LORA_MATS matrices, applied functionally like resampler.forward's
+    — CalliAlign training adapts the char-path ViT this way (the reference
+    deploys a separate char-path ViT as params/vit_model.pt,
+    config/configu.py:7 + models/model.py:20-30); inference merges the deltas
+    into a dedicated ``char_vision`` tree once at load."""
     B, H, W, _ = pixel_values.shape
     P = cfg.patch_size
     gh, gw = H // P, W // P
@@ -182,7 +194,7 @@ def forward(
         # widths fall back to the XLA reference path on real TPU.
         attn_impl = "reference"
 
-    def _mm(p, h, name):
+    def _mm(p, h, name, l=None):
         """Layer linear, int8-aware: dispatches on ``{name}_kernel_q`` +
         ``{name}_kernel_scale`` (runtime/quantize.quantize_vit_int8). Unlike
         the LLM's weight-only path (decode is HBM-bound, so halving weight
@@ -191,9 +203,20 @@ def forward(
         per token (absmax/127) and the matmul executes as int8 x int8 ->
         int32 on the MXU (2x bf16 throughput), then rescales by (act_scale
         x per-out-channel weight scale). GELU/LN/attention stay bf16."""
+        def _delta(out):
+            if l is None:
+                return out
+            # delta in compute dtype: an fp32 cast of h (B x 1025 x E rows)
+            # costs ~2x activation HBM for no benefit — the MXU accumulates
+            # in fp32 either way
+            d = (h @ l[f"{name}_a"].astype(h.dtype)) @ l[f"{name}_b"].astype(h.dtype)
+            return out + (lora_scale * d).astype(out.dtype)
+
         q = p.get(f"{name}_kernel_q")
         if q is None:
-            return h @ p[f"{name}_kernel"].astype(h.dtype) + p[f"{name}_bias"].astype(h.dtype)
+            return _delta(
+                h @ p[f"{name}_kernel"].astype(h.dtype)
+            ) + p[f"{name}_bias"].astype(h.dtype)
         amax = jnp.max(jnp.abs(h), axis=-1, keepdims=True)
         hs = jnp.maximum(amax.astype(jnp.float32), 1e-6) / 127.0
         hq = jnp.clip(jnp.round(h.astype(jnp.float32) / hs), -127, 127).astype(jnp.int8)
@@ -203,12 +226,13 @@ def forward(
             preferred_element_type=jnp.int32,
         )
         y = y.astype(jnp.float32) * hs * p[f"{name}_kernel_scale"]
-        return y.astype(h.dtype) + p[f"{name}_bias"].astype(h.dtype)
+        return _delta(y.astype(h.dtype)) + p[f"{name}_bias"].astype(h.dtype)
 
-    def body(carry, p):
+    def body(carry, pl):
+        p, l = pl
         x = carry
         h = layer_norm(x, p["norm1_scale"], p["norm1_bias"], cfg.layer_norm_eps, policy)
-        qkv = _mm(p, h, "qkv")
+        qkv = _mm(p, h, "qkv", l)
         if attn_impl == "single_pass":
             from callireader_tpu.kernels.vit_attention import (
                 attention_from_packed_qkv,
@@ -241,17 +265,17 @@ def forward(
             v = qkv[:, :, 2].transpose(0, 2, 1, 3)
             ctx = attention_reference(q, k, v, causal=False)
             ctx = ctx.transpose(0, 2, 1, 3).reshape(B, S, Hn * Dh)
-        ctx = _mm(p, ctx, "proj")
+        ctx = _mm(p, ctx, "proj", l)
         x = x + ctx * p["ls1"].astype(ctx.dtype)
 
         h = layer_norm(x, p["norm2_scale"], p["norm2_bias"], cfg.layer_norm_eps, policy)
-        h = _mm(p, h, "fc1")
+        h = _mm(p, h, "fc1", l)
         h = jax.nn.gelu(h, approximate=False)
-        h = _mm(p, h, "fc2")
+        h = _mm(p, h, "fc2", l)
         x = x + h * p["ls2"].astype(h.dtype)
         return x, None
 
     if remat:
         body = jax.checkpoint(body)
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, _ = jax.lax.scan(body, x, (params["layers"], lora))
     return x

@@ -73,7 +73,7 @@ def engine_logical_axes(cfg: VLMConfig, params: Dict[str, Any]) -> Dict[str, Any
                     else:
                         a["layers"][leaf] = ("stack",)
             axes[name] = a
-        elif name == "vision":
+        elif name in ("vision", "char_vision"):
             a = internvit.logical_axes(cfg.vision)
             if any(k.endswith("_kernel_q") for k in sub["layers"]):
                 from callireader_tpu.runtime.quantize import (

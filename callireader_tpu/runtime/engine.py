@@ -198,6 +198,7 @@ class CalliReaderEngine:
             else None
         )
         self._vision_encode = jax.jit(self._vision_encode_impl)
+        self._char_encode = jax.jit(self._char_encode_impl)
         self._vision_encode_chars = jax.jit(self._vision_encode_chars_impl)
         self._resample_vq = jax.jit(self._resample_vq_impl, static_argnames=("hard_vq",))
         self._char_pipeline = jax.jit(
@@ -216,13 +217,25 @@ class CalliReaderEngine:
     # jitted programs
     # ------------------------------------------------------------------
 
-    def _vision_encode_impl(self, params, pixel_values):
-        """(N, H, W, C) tiles -> (N, num_image_token, E_llm)."""
+    def _encode_tower(self, vision_params, params, pixel_values):
         hidden = internvit.forward(
-            params["vision"], self.cfg.vision, pixel_values,
+            vision_params, self.cfg.vision, pixel_values,
             policy=self.policy, use_flash=self.use_flash,
         )
         return projector.extract_feature(params["projector"], hidden, self.cfg, policy=self.policy)
+
+    def _vision_encode_impl(self, params, pixel_values):
+        """(N, H, W, C) tiles -> (N, num_image_token, E_llm)."""
+        return self._encode_tower(params["vision"], params, pixel_values)
+
+    def _char_encode_impl(self, params, pixel_values):
+        """Char-path tower: the trained CalliAlign char ViT when present —
+        the reference deploys the char-path encoder as a SEPARATE module
+        (params/vit_model.pt, config/configu.py:7 + models/model.py:20-30) —
+        else the shared tile tower."""
+        return self._encode_tower(
+            params.get("char_vision", params["vision"]), params, pixel_values
+        )
 
     def _vision_encode_chars_impl(self, params, content_uint8):
         """(N, canvas, canvas, 3) uint8 char content — or (N, canvas, canvas)
@@ -240,7 +253,7 @@ class CalliReaderEngine:
             x = jnp.broadcast_to(x[..., None], (*x.shape, 3))
         else:
             x = jnp.pad(content_uint8, (*spatial, (0, 0)), constant_values=255)
-        return self._vision_encode_impl(params, x)
+        return self._char_encode_impl(params, x)
 
     def _resample_vq_impl(self, params, feats, hard_vq=False):
         """(N, 256, E) -> pseudo embeds (N*3, E), indices (N, 3)."""
@@ -275,7 +288,7 @@ class CalliReaderEngine:
         )
         if canvas.ndim == 3:  # luma -> RGB on device
             canvas = jnp.broadcast_to(canvas[..., None], (*canvas.shape, 3))
-        feats = self._vision_encode_impl(params, canvas)
+        feats = self._char_encode_impl(params, canvas)
         return self._resample_vq_impl(params, feats, hard_vq=hard_vq)
 
     def _page_tiles_impl(self, pages_u8, *, cols: int, rows: int, thumb: bool):
@@ -386,7 +399,7 @@ class CalliReaderEngine:
 
     def encode_char_slices(self, slices: np.ndarray) -> jax.Array:
         padded, n = preprocess.pad_to_bucket(slices, CHAR_BUCKETS)
-        feats = self._vision_encode(self.params, jnp.asarray(padded))
+        feats = self._char_encode(self.params, jnp.asarray(padded))
         return feats[:n]
 
     def encode_char_contents(self, contents: np.ndarray, chunk: int = 128) -> jax.Array:

@@ -61,6 +61,13 @@ def base_resampler_params(cfg: ResamplerConfig, dtype=jnp.bfloat16):
     return resampler.init_params(ks[3], cfg, dtype)
 
 
+def base_vision_params(cfg: VLMConfig, dtype=jnp.bfloat16):
+    """The engine's vision init for seed 0 — split index 1 of
+    init_all_params(PRNGKey(0)). The char-ViT asset is a delta over THIS."""
+    ks = jax.random.split(jax.random.PRNGKey(0), 7)
+    return internvit.init_params(ks[1], cfg.vision, dtype)
+
+
 def align_table(vocab_size: int, hidden_size: int, dtype=jnp.bfloat16):
     """The engine's random `align.normed_emb` for seed 0 — split index 6 of
     init_all_params(PRNGKey(0)). This is the VQ codebook training targets."""
@@ -254,6 +261,64 @@ def init_lora(key: jax.Array, base_layers: Dict, rank: int) -> Dict:
     return out
 
 
+def init_vit_lora(key: jax.Array, base_layers: Dict, rank: int) -> Dict:
+    """LoRA over the char-ViT's big matrices (internvit.VIT_LORA_MATS).
+    Necessary in THIS environment: the base ViT is a random init (no
+    pretrained weights exist here), and frozen random 24-layer features are
+    near-degenerate — a measured 0.115 leave-one-out nearest-centroid
+    accuracy over 62 char classes, far too weak for 7k-way VQ. The reference
+    ships its char-path encoder as a separate trained module
+    (params/vit_model.pt); this LoRA + the trained small leaves is ours."""
+    out = {}
+    ks = jax.random.split(key, len(internvit.VIT_LORA_MATS))
+    for k, name in zip(ks, internvit.VIT_LORA_MATS):
+        L, fin, fout = base_layers[f"{name}_kernel"].shape
+        out[name + "_a"] = (jax.random.normal(k, (L, fin, rank), jnp.float32)
+                            * (fin ** -0.5))
+        out[name + "_b"] = jnp.zeros((L, rank, fout), jnp.float32)
+    return out
+
+
+VIT_SMALL_LAYER = ("norm1_scale", "norm1_bias", "norm2_scale", "norm2_bias",
+                   "ls1", "ls2")
+
+
+def vit_small_leaves(vision: Dict) -> Dict:
+    """The directly-trained char-ViT leaves, float32: the information entry
+    point (patch/pos/cls embeddings) plus every norm and the per-layer
+    layer-scales — ls1/ls2 give the optimizer a one-vector-per-layer knob to
+    damp the random blocks' feature scrambling."""
+    f32 = lambda x: x.astype(jnp.float32)
+    return {
+        "patch_embed": {k: f32(v) for k, v in vision["patch_embed"].items()},
+        "cls_token": f32(vision["cls_token"]),
+        "pos_embed": f32(vision["pos_embed"]),
+        "layers": {k: f32(vision["layers"][k]) for k in VIT_SMALL_LAYER},
+    }
+
+
+def merge_vit_small(base: Dict, small: Dict, dtype) -> Dict:
+    cast = lambda t: jax.tree.map(lambda x: x.astype(dtype), t)
+    return {
+        "patch_embed": cast(small["patch_embed"]),
+        "cls_token": small["cls_token"].astype(dtype),
+        "pos_embed": small["pos_embed"].astype(dtype),
+        "layers": {**base["layers"], **cast(small["layers"])},
+    }
+
+
+def merge_full_vision(base: Dict, trained: Dict, dtype=jnp.bfloat16,
+                      lora_scale: float = 1.0) -> Dict:
+    """Materialize the merged char-ViT (engine params['char_vision'])."""
+    merged = merge_vit_small(base, trained["vit_small"], dtype)
+    lora = trained["vit_lora"]
+    for name in internvit.VIT_LORA_MATS:
+        w = base["layers"][f"{name}_kernel"].astype(jnp.float32)
+        d = jnp.einsum("lir,lro->lio", lora[name + "_a"], lora[name + "_b"])
+        merged["layers"][f"{name}_kernel"] = (w + lora_scale * d).astype(dtype)
+    return merged
+
+
 def small_leaves(params: Dict) -> Dict:
     """The directly-trained (non-LoRA) resampler leaves, as float32."""
     lay = params["layers"]
@@ -293,7 +358,7 @@ def merge_full(base: Dict, trained: Dict, dtype=jnp.bfloat16,
 # asset save / load / apply
 # ---------------------------------------------------------------------------
 
-ASSET_VERSION = 1
+ASSET_VERSION = 2
 
 
 def save_asset(path: str, trained: Dict, meta: Dict) -> None:
@@ -306,6 +371,16 @@ def save_asset(path: str, trained: Dict, meta: Dict) -> None:
     flat["small/norm_bias"] = np.asarray(s["norm_bias"], np.float32)
     for k, v in s["layers"].items():
         flat["small/layers/" + k] = np.asarray(v, np.float32)
+    if "vit_lora" in trained:
+        for name, v in trained["vit_lora"].items():
+            flat["vit_lora/" + name] = np.asarray(v, np.float16)
+        vs = trained["vit_small"]
+        flat["vit_small/patch_embed/kernel"] = np.asarray(vs["patch_embed"]["kernel"], np.float32)
+        flat["vit_small/patch_embed/bias"] = np.asarray(vs["patch_embed"]["bias"], np.float32)
+        flat["vit_small/cls_token"] = np.asarray(vs["cls_token"], np.float32)
+        flat["vit_small/pos_embed"] = np.asarray(vs["pos_embed"], np.float32)
+        for k, v in vs["layers"].items():
+            flat["vit_small/layers/" + k] = np.asarray(v, np.float32)
     np.savez_compressed(path, **flat)
 
 
@@ -313,6 +388,7 @@ def load_asset(path: str) -> Tuple[Dict, Dict]:
     z = np.load(path, allow_pickle=False)
     meta = json.loads(str(z["meta"]))
     lora, layers, small = {}, {}, {}
+    vit_lora, vit_layers, vit_small = {}, {}, {}
     for k in z.files:
         if k.startswith("lora/"):
             lora[k[5:]] = jnp.asarray(z[k], jnp.float32)
@@ -320,16 +396,37 @@ def load_asset(path: str) -> Tuple[Dict, Dict]:
             layers[k[len("small/layers/"):]] = jnp.asarray(z[k])
         elif k.startswith("small/"):
             small[k[6:]] = jnp.asarray(z[k])
+        elif k.startswith("vit_lora/"):
+            vit_lora[k[len("vit_lora/"):]] = jnp.asarray(z[k], jnp.float32)
+        elif k.startswith("vit_small/layers/"):
+            vit_layers[k[len("vit_small/layers/"):]] = jnp.asarray(z[k])
+        elif k.startswith("vit_small/patch_embed/"):
+            vit_small.setdefault("patch_embed", {})[
+                k[len("vit_small/patch_embed/"):]] = jnp.asarray(z[k])
+        elif k.startswith("vit_small/"):
+            vit_small[k[len("vit_small/"):]] = jnp.asarray(z[k])
     small["layers"] = layers
-    return {"lora": lora, "small": small}, meta
+    out = {"lora": lora, "small": small}
+    if vit_lora:  # version >= 2: the asset carries the char-ViT delta too
+        vit_small["layers"] = vit_layers
+        out["vit_lora"] = vit_lora
+        out["vit_small"] = vit_small
+    return out, meta
 
 
-def apply_asset(cfg: ResamplerConfig, path: str, dtype=jnp.bfloat16) -> Dict:
-    """assets/callialign.npz -> merged resampler params over the seed-0 base
-    (the engine's random init) — used by cli/common._overlay_trained_assets."""
+def apply_asset(cfg: VLMConfig, path: str, dtype=jnp.bfloat16) -> Dict:
+    """assets/callialign.npz -> {"resampler": merged params, "char_vision":
+    merged char-ViT or absent (v1 assets)} over the seed-0 base (the engine's
+    random init) — used by cli/common._overlay_trained_assets. The char ViT
+    mirrors the reference's separate params/vit_model.pt module."""
     trained, meta = load_asset(path)
-    base = base_resampler_params(cfg, dtype)
-    return merge_full(base, trained, dtype, lora_scale=meta.get("lora_scale", 1.0))
+    scale = meta.get("lora_scale", 1.0)
+    base = base_resampler_params(cfg.resampler, dtype)
+    out = {"resampler": merge_full(base, trained, dtype, lora_scale=scale)}
+    if "vit_lora" in trained:
+        out["char_vision"] = merge_full_vision(
+            base_vision_params(cfg, dtype), trained, dtype, lora_scale=scale)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -337,14 +434,46 @@ def apply_asset(cfg: ResamplerConfig, path: str, dtype=jnp.bfloat16) -> Dict:
 # ---------------------------------------------------------------------------
 
 
+def _ink_weights(canvas_luma: jax.Array, patch: int) -> jax.Array:
+    """(B, S, S) luma canvas -> (B, n_tok) per-projected-token ink mass.
+    Each projected token covers a 2x2 patch block (pixel shuffle 0.5), i.e.
+    a (2*patch)^2 pixel square, row-major — matching extract_feature's token
+    order. White (255) = 0 ink."""
+    B, S, _ = canvas_luma.shape
+    blk = 2 * patch
+    g = S // blk
+    ink = (255.0 - canvas_luma.astype(jnp.float32)) / 255.0
+    ink = ink.reshape(B, g, blk, g, blk).mean(axis=(2, 4))
+    return ink.reshape(B, g * g)
+
+
 def _encode(frozen: Dict, cfg: VLMConfig, raw, src, tgt, canvas: int,
-            policy: DTypePolicy, use_flash):
+            policy: DTypePolicy, use_flash, vit_trainable: Optional[Dict] = None,
+            return_ink: bool = False):
+    """On-device bicubic canvas -> char ViT -> projector. When
+    ``vit_trainable`` is given ({vit_small, vit_lora}), the ViT runs the
+    trained small leaves + functional LoRA (remat'd: 24 layers of qkv/fc1
+    activations at batchx1025 tokens don't fit otherwise); None = the frozen
+    base (legacy probes). ``return_ink``: also return per-token ink weights
+    for the aux head's content-weighted pooling."""
     x = bicubic_canvas(raw, src, tgt, canvas)          # (B, canvas, canvas)
+    ink = _ink_weights(x, cfg.vision.patch_size) if return_ink else None
     x = jnp.broadcast_to(x[..., None], (*x.shape, 3))
-    hidden = internvit.forward(frozen["vision"], cfg.vision, x,
-                               policy=policy, use_flash=use_flash)
-    return projector.extract_feature(frozen["projector"], hidden, cfg,
-                                     policy=policy)
+    if vit_trainable is None:
+        vis, lora, remat, attn = frozen["vision"], None, False, None
+    else:
+        vis = merge_vit_small(frozen["vision"], vit_trainable["vit_small"],
+                              policy.compute_dtype)
+        # the single-pass/packed ViT Pallas kernels are inference-only (no
+        # VJP); the XLA einsum path differentiates and remat keeps the 24
+        # layers of qkv/fc1 activations off HBM
+        lora, remat, attn = vit_trainable["vit_lora"], True, "reference"
+    hidden = internvit.forward(vis, cfg.vision, x, policy=policy,
+                               use_flash=use_flash, lora=lora, remat=remat,
+                               attn_impl=attn)
+    feats = projector.extract_feature(frozen["projector"], hidden, cfg,
+                                      policy=policy)
+    return (feats, ink) if return_ink else feats
 
 
 def _pseudo_normed(trainable: Dict, base_res: Dict, cfg: VLMConfig, feats,
@@ -357,36 +486,66 @@ def _pseudo_normed(trainable: Dict, base_res: Dict, cfg: VLMConfig, feats,
 
 
 def make_step_fn(cfg: VLMConfig, canvas: int, policy: DTypePolicy, optimizer,
-                 use_flash: Optional[bool]):
+                 use_flash: Optional[bool], aux_weight: float = 1.0):
     """One jitted train step at a fixed canvas size: on-device bicubic canvas
-    -> frozen ViT+projector -> LoRA resampler -> InfoNCE over the full token
-    table. Only the (small + LoRA + logit_scale) subtree takes grads.
+    -> LoRA'd char ViT -> frozen projector -> LoRA resampler, with two heads:
 
-    ``frozen``/``base_res`` are jit ARGUMENTS (device buffers), not closures —
-    closing over them bakes ~3 GB of weights into the lowered program as
-    constants (slow compile, doubled HBM)."""
+    1. the deployed contract: InfoNCE of each pseudo token against the CJK
+       sub-table (``frozen["table_sub"]``, class-indexed labels). Restricting
+       the softmax to the ~7k single-char rows concentrates the gradient 13x
+       vs the full 92553 table while staying deployment-equivalent: the max
+       cosine of a trained-aligned output against the ~85k UNTRAINED random
+       rows is ~sqrt(2 ln 85000 / 4096) = 0.074, far below any trained
+       alignment, so full-table argmax follows from sub-table argmax (the
+       eval fn still argmaxes the FULL table).
+    2. ``aux_weight`` x CE of a linear head over mean-pooled ViT features —
+       direct encoder supervision. At init the resampler output is nearly
+       sample-independent (measured pairwise cos 0.9958 across different
+       chars: white canvas + near-uniform cross-attention), so the VQ loss
+       alone gives the encoder almost no usable gradient; the aux head
+       bootstraps feature separation, after which head 1 aligns the readout.
+       The head is training-only — save_asset drops it.
+
+    Only the (small + LoRA + vit_small + vit_lora + aux + logit_scale)
+    subtree takes grads. ``frozen``/``base_res`` are jit ARGUMENTS (device
+    buffers), not closures — closing over them bakes ~3 GB of weights into
+    the lowered program as constants (slow compile, doubled HBM)."""
 
     def loss_fn(trainable, frozen, base_res, batch):
-        raw, src, tgt, labels = batch
-        feats = jax.lax.stop_gradient(
-            _encode(frozen, cfg, raw, src, tgt, canvas, policy, use_flash))
+        raw, src, tgt, cls_labels = batch
+        feats, ink = _encode(frozen, cfg, raw, src, tgt, canvas, policy,
+                             use_flash, vit_trainable=trainable,
+                             return_ink=True)
         out = _pseudo_normed(trainable, base_res, cfg, feats, policy)
         scale = jnp.minimum(jnp.exp(trainable["logit_scale"]), 100.0)
-        logits = jnp.einsum("bne,ve->bnv", out, frozen["table_n"]) * scale
-        lab = jnp.broadcast_to(labels[:, None], logits.shape[:2])
+        logits = jnp.einsum("bne,ce->bnc", out,
+                            frozen["table_sub"]) * scale
+        lab = jnp.broadcast_to(cls_labels[:, None], logits.shape[:2])
         logp = jax.nn.log_softmax(logits, axis=-1)
-        loss = -jnp.mean(jnp.take_along_axis(logp, lab[..., None], axis=-1))
+        loss_vq = -jnp.mean(jnp.take_along_axis(logp, lab[..., None], axis=-1))
         acc = jnp.mean((jnp.argmax(logits, -1) == lab).astype(jnp.float32))
-        return loss, acc
+
+        # ink-weighted pooling: uniform mean is ~75% white-margin tokens
+        # whose post-LayerNorm features are full-magnitude shared noise —
+        # the probe must see CONTENT patches to supervise the encoder
+        w = ink / jnp.maximum(ink.sum(axis=1, keepdims=True), 1e-6)
+        pooled = jnp.einsum("bn,bne->be", w, feats.astype(jnp.float32))
+        aux_logits = pooled @ trainable["aux"]["w"] + trainable["aux"]["b"]
+        aux_logp = jax.nn.log_softmax(aux_logits, axis=-1)
+        loss_aux = -jnp.mean(
+            jnp.take_along_axis(aux_logp, cls_labels[:, None], axis=-1))
+        aux_acc = jnp.mean(
+            (jnp.argmax(aux_logits, -1) == cls_labels).astype(jnp.float32))
+        return loss_vq + aux_weight * loss_aux, (loss_vq, acc, aux_acc)
 
     def step(trainable, opt_state, frozen, base_res, batch):
-        (loss, acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            trainable, frozen, base_res, batch)
+        (loss, (loss_vq, acc, aux_acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable, frozen, base_res, batch)
         updates, opt_state = optimizer.update(grads, opt_state, trainable)
         import optax
 
         trainable = optax.apply_updates(trainable, updates)
-        return trainable, opt_state, loss, acc
+        return trainable, opt_state, loss_vq, acc, aux_acc
 
     return jax.jit(step, donate_argnums=(0, 1))
 
@@ -397,7 +556,8 @@ def make_eval_fn(cfg: VLMConfig, canvas: int, policy: DTypePolicy,
     ``frozen``/``base_res`` are jit arguments (see make_step_fn)."""
 
     def eval_fn(trainable, frozen, base_res, raw, src, tgt, labels):
-        feats = _encode(frozen, cfg, raw, src, tgt, canvas, policy, use_flash)
+        feats = _encode(frozen, cfg, raw, src, tgt, canvas, policy, use_flash,
+                        vit_trainable=trainable)
         out = _pseudo_normed(trainable, base_res, cfg, feats, policy)
         sims = jnp.einsum("bne,ve->bnv", out, frozen["table_n"])
         idx = jnp.argmax(sims, axis=-1)  # (B, n_learns)
@@ -409,13 +569,28 @@ def make_eval_fn(cfg: VLMConfig, canvas: int, policy: DTypePolicy,
     return jax.jit(eval_fn)
 
 
-def build_frozen(cfg: VLMConfig, dtype=jnp.bfloat16) -> Dict:
+def build_frozen(cfg: VLMConfig, dtype=jnp.bfloat16,
+                 class_token_ids: Optional[Sequence[int]] = None) -> Dict:
     """Frozen towers + the normalized VQ table, from the engine's seed-0 init
-    (the LLM is never materialized — CalliAlign training doesn't need it)."""
+    (the LLM is never materialized — CalliAlign training doesn't need it).
+    ``class_token_ids``: the single-char label space; adds ``table_sub``
+    (n_cls, E) — the training softmax support (make_step_fn head 1)."""
     ks = jax.random.split(jax.random.PRNGKey(0), 7)
     vision = internvit.init_params(ks[1], cfg.vision, dtype)
     proj = projector.init_params(ks[2], cfg, dtype)
     table = align_table(cfg.llm.vocab_size, cfg.llm.hidden_size, dtype)
     t = table.astype(jnp.float32)
     t = t / jnp.maximum(jnp.linalg.norm(t, axis=-1, keepdims=True), 1e-12)
-    return {"vision": vision, "projector": proj, "table_n": t}
+    out = {"vision": vision, "projector": proj, "table_n": t}
+    if class_token_ids is not None:
+        out["table_sub"] = t[jnp.asarray(np.asarray(class_token_ids))]
+    return out
+
+
+def init_aux_head(key: jax.Array, cfg: VLMConfig, n_classes: int) -> Dict:
+    """Training-only linear probe over mean-pooled ViT+projector features."""
+    E = cfg.llm.hidden_size
+    return {
+        "w": jax.random.normal(key, (E, n_classes), jnp.float32) * (E ** -0.5),
+        "b": jnp.zeros((n_classes,), jnp.float32),
+    }

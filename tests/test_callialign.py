@@ -89,6 +89,75 @@ def test_asset_roundtrip(tmp_path):
         )
 
 
+def test_vit_lora_and_v2_asset_roundtrip(tmp_path):
+    """v2 asset (resampler + char-ViT deltas): save -> load -> apply_asset
+    must return a char_vision whose forward matches the functional-LoRA
+    forward, and the engine must route char encodes through it."""
+    from callireader_tpu.models import internvit
+
+    cfg = TINY
+    vbase = ca.base_vision_params(cfg, jnp.float32)
+    vlora = ca.init_vit_lora(jax.random.PRNGKey(4), vbase["layers"], rank=4)
+    vlora = {k: (v if k.endswith("_a") else
+                 jax.random.normal(jax.random.PRNGKey(6), v.shape) * 0.02)
+             for k, v in vlora.items()}
+    rbase = ca.base_resampler_params(cfg.resampler, jnp.float32)
+    trained = {
+        "small": ca.small_leaves(rbase),
+        "lora": ca.init_lora(jax.random.PRNGKey(1), rbase["layers"], rank=4),
+        "vit_small": ca.vit_small_leaves(vbase),
+        "vit_lora": vlora,
+    }
+    path = str(tmp_path / "ca2.npz")
+    ca.save_asset(path, jax.device_get(trained), {"rank": 4, "lora_scale": 1.0})
+    loaded, meta = ca.load_asset(path)
+    assert meta["version"] == 2 and "vit_lora" in loaded
+
+    applied = ca.apply_asset(cfg, path, jnp.float32)
+    assert set(applied) == {"resampler", "char_vision"}
+    x = jax.random.normal(jax.random.PRNGKey(7),
+                          (2, cfg.force_image_size, cfg.force_image_size, 3),
+                          jnp.float32)
+    out_fn = internvit.forward(vbase, cfg.vision, x, use_flash=False,
+                               lora=vlora)
+    out_merged = internvit.forward(applied["char_vision"], cfg.vision, x,
+                                   use_flash=False)
+    base_out = internvit.forward(vbase, cfg.vision, x, use_flash=False)
+    assert not np.allclose(np.asarray(out_merged), np.asarray(base_out))
+    np.testing.assert_allclose(np.asarray(out_fn), np.asarray(out_merged),
+                               atol=5e-3, rtol=5e-2)
+
+
+def test_engine_char_vision_routing():
+    """With params['char_vision'] present, char encodes use it and tile
+    encodes keep using params['vision']."""
+    from callireader_tpu.runtime.engine import CalliReaderEngine, init_all_params
+    from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer
+
+    cfg = TINY
+    tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
+    params = init_all_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    rng = np.random.RandomState(0)
+    contents = rng.randint(0, 255, (2, 42, 42, 3), np.uint8)  # < 56 canvas
+
+    eng = CalliReaderEngine(cfg, dict(params), tok, gray_chars=True,
+                            device_resize_chars=False)
+    base_feats = np.asarray(eng.encode_char_contents(contents))
+    tile = rng.randint(0, 255,
+                       (1, cfg.force_image_size, cfg.force_image_size, 3),
+                       np.uint8).astype(np.float32)
+    base_tiles = np.asarray(eng.encode_image_tiles(tile))
+
+    cv = internvit_scaled = jax.tree.map(lambda v: v * 1.5, params["vision"])
+    eng2 = CalliReaderEngine(cfg, {**params, "char_vision": cv}, tok,
+                             gray_chars=True, device_resize_chars=False)
+    alt_feats = np.asarray(eng2.encode_char_contents(contents))
+    alt_tiles = np.asarray(eng2.encode_image_tiles(tile))
+    assert not np.allclose(alt_feats, base_feats)  # char path switched
+    np.testing.assert_allclose(alt_tiles, base_tiles, atol=1e-5)  # tile path didn't
+    del internvit_scaled
+
+
 def test_fixture_and_glyph_data():
     """Fixture crops load with single-token labels; glyphs are deterministic
     per char; augmentation keeps crops inside the raw bucket."""
@@ -125,12 +194,17 @@ def test_train_step_learns_tiny():
     import optax
 
     cfg = TINY
-    frozen = ca.build_frozen(cfg, jnp.float32)
+    # label space: token ids 11/22 -> class indices 0/1 (the sub-table CE)
+    frozen = ca.build_frozen(cfg, jnp.float32, class_token_ids=[11, 22])
     base = ca.base_resampler_params(cfg.resampler, jnp.float32)
     trainable = {
         "small": ca.small_leaves(base),
         "lora": ca.init_lora(jax.random.PRNGKey(1), base["layers"], rank=4),
+        "vit_small": ca.vit_small_leaves(frozen["vision"]),
+        "vit_lora": ca.init_vit_lora(jax.random.PRNGKey(2),
+                                     frozen["vision"]["layers"], rank=4),
         "logit_scale": jnp.asarray(np.log(1 / 0.07), jnp.float32),
+        "aux": ca.init_aux_head(jax.random.PRNGKey(3), cfg, 2),
     }
     opt = optax.adam(3e-3)
     opt_state = opt.init(trainable)
@@ -139,16 +213,17 @@ def test_train_step_learns_tiny():
 
     rng = np.random.RandomState(0)
     crops = [ca.glyph_for_char("书"), ca.glyph_for_char("法")]
-    labels = np.asarray([11, 22], np.int32)
+    cls = np.asarray([0, 1], np.int32)
     raw, src, tgt = ca.pack_raw_batch(crops, input_size=cfg.force_image_size)
     batch = (jnp.asarray(raw), jnp.asarray(src), jnp.asarray(tgt),
-             jnp.asarray(labels))
+             jnp.asarray(cls))
     first = None
     for i in range(100):
-        trainable, opt_state, loss, acc = step(trainable, opt_state, frozen,
-                                               base, batch)
+        trainable, opt_state, loss, acc, aux_acc = step(
+            trainable, opt_state, frozen, base, batch)
         if first is None:
             first = float(loss)
     assert float(loss) < first * 0.1
     assert float(acc) == 1.0
+    assert float(aux_acc) == 1.0
     del rng
