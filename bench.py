@@ -174,6 +174,15 @@ def main():
         jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16,
         llm_int8=(quant == "int8"),
     )
+    if quant == "int8":
+        # 128-pad the vocab tables: unlocks the fused-dequant head kernel
+        # (kernels/int8_matmul.py) for the 380 MB lm-head read per step
+        import dataclasses as _dc2
+
+        from callireader_tpu.models import internlm2 as _illm
+
+        params["llm"], _llm_cfg = _illm.pad_vocab(params["llm"], cfg.llm, 128)
+        cfg = _dc2.replace(cfg, llm=_llm_cfg)
     tok = InternLM2Tokenizer("callireader_tpu/assets/tokenizer.model")
     # Device tiling (default ON): ship raw pages (4.7 MB each) and tile on
     # device instead of host-PIL tiling + 53 MB/batch tiled h2d. Measured on

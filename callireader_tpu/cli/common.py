@@ -161,6 +161,14 @@ def build_engine(
 
         before = param_bytes(params["llm"])
         params["llm"] = quantize_llm_int8(params["llm"])
+        # 128-pad the vocab tables so the fused-dequant head kernel's block
+        # constraint holds (92553 % 128 != 0); _logits masks the pad rows
+        import dataclasses
+
+        from callireader_tpu.models import internlm2 as _illm
+
+        params["llm"], llm_cfg = _illm.pad_vocab(params["llm"], cfg.llm, 128)
+        cfg = dataclasses.replace(cfg, llm=llm_cfg)
         after = param_bytes(params["llm"])
         print(
             f"[engine] int8 weight-only quantization: LLM {before/1e9:.1f} GB -> {after/1e9:.1f} GB",

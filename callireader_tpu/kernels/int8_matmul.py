@@ -51,6 +51,65 @@ def _pick_block(dim: int, candidates=(512, 256, 128)) -> int:
     return dim
 
 
+def _kernel_nt(h_ref, w_ref, s_ref, o_ref, acc_ref, *, n_k: int):
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    w = w_ref[...].astype(h_ref.dtype)  # (bn, bk)
+    acc_ref[...] += jax.lax.dot_general(
+        h_ref[...], w, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(k == n_k - 1)
+    def _scale():
+        s = s_ref[...].astype(jnp.float32).T  # (1, bn)
+        o_ref[...] = (acc_ref[...] * s).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "block_n", "interpret"))
+def int8_matmul_nt(
+    h: jax.Array,        # (M, K)
+    w_q: jax.Array,      # (N, K) int8 — torch Linear / lm-head layout
+    w_scale: jax.Array,  # (N,) fp32 per-row absmax/127
+    *,
+    block_k: int = 512,
+    block_n: int = 512,
+    interpret: bool = False,
+) -> jax.Array:
+    """h @ dequant(w_q).T without transposing the stored int8 matrix —
+    the contraction runs over both operands' LAST dim on the MXU."""
+    M, K = h.shape
+    N, K2 = w_q.shape
+    assert K == K2 and w_scale.shape == (N,)
+    bk = _pick_block(K) if K % block_k else block_k
+    bn = _pick_block(N) if N % block_n else block_n
+    n_k = K // bk
+
+    m_pad = -M % 8
+    if m_pad:
+        h = jnp.pad(h, ((0, m_pad), (0, 0)))
+    Mp = M + m_pad
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_nt, n_k=n_k),
+        grid=(N // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((Mp, bk), lambda n, k: (0, k)),
+            pl.BlockSpec((bn, bk), lambda n, k: (n, k)),
+            pl.BlockSpec((bn, 1), lambda n, k: (n, 0)),
+        ],
+        out_specs=pl.BlockSpec((Mp, bn), lambda n, k: (0, n)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), h.dtype),
+        scratch_shapes=[pltpu.VMEM((Mp, bn), jnp.float32)],
+        interpret=interpret,
+    )(h, w_q, w_scale.reshape(N, 1))
+    return out[:M] if m_pad else out
+
+
 @functools.partial(jax.jit, static_argnames=("block_k", "block_n", "interpret"))
 def int8_matmul(
     h: jax.Array,      # (M, K) activations (bf16/f32)

@@ -192,13 +192,54 @@ jax.tree_util.register_dataclass(KVCache, data_fields=["k", "v", "length"], meta
 # ---------------------------------------------------------------------------
 
 
+import os as _os
+
+# int8 decode-matmul kernel dispatch: None = auto (TPU, few rows), "0"/"1"
+# force off/on (tests run it in interpret mode on CPU via "interpret")
+_INT8_KERNEL_MODE = _os.environ.get("CALLIREADER_INT8_KERNEL")
+_INT8_KERNEL_MAX_ROWS = 32
+
+
+def _int8_kernel_wanted(rows: int) -> Optional[str]:
+    """'' = pallas on device, 'interpret' = pallas interpret, None = XLA."""
+    if _INT8_KERNEL_MODE == "0":
+        return None
+    if _INT8_KERNEL_MODE == "interpret":
+        return "interpret"
+    if _INT8_KERNEL_MODE == "1" or (
+        rows <= _INT8_KERNEL_MAX_ROWS
+        and jax.default_backend() == "tpu"
+    ):
+        return ""
+    return None
+
+
+def _int8_mm(h, q, scale, *, out_last: int):
+    """Dispatch h @ dequant(q, scale): the Pallas fused-dequant kernel when
+    the matmul is HBM-bound (decode: few rows) so weight bytes are read as
+    int8, else the XLA form. ``scale`` is per-out-channel, any broadcastable
+    shape."""
+    rows = 1
+    for d in h.shape[:-1]:
+        rows *= d
+    mode = _int8_kernel_wanted(rows)
+    if mode is not None and q.shape[-1] % 128 == 0 and q.shape[0] % 128 == 0:
+        from callireader_tpu.kernels.int8_matmul import int8_matmul
+
+        y = int8_matmul(h.reshape(rows, h.shape[-1]), q,
+                        scale.reshape(out_last), interpret=(mode == "interpret"))
+        return y.reshape(*h.shape[:-1], out_last)
+    return (h @ q.astype(h.dtype)) * scale.reshape(out_last).astype(h.dtype)
+
+
 def _proj(p, h, name: str):
     """Linear with optional LoRA adapter leaves ``{name}_lora_a/b`` (+scale,
     train/lora.py) and optional int8 weight-only quantization ``{name}_q`` +
-    ``{name}_scale`` (runtime/quantize.py): y = (h @ q) * scale."""
+    ``{name}_scale`` (runtime/quantize.py): y = (h @ q) * scale, via the
+    fused-dequant Pallas kernel on the decode path."""
     q = p.get(f"{name}_q")
     if q is not None:
-        y = (h @ q.astype(h.dtype)) * p[f"{name}_scale"].astype(h.dtype)
+        y = _int8_mm(h, q, p[f"{name}_scale"], out_last=q.shape[-1])
     else:
         y = h @ p[name].astype(h.dtype)
     a = p.get(f"{name}_lora_a")
@@ -265,8 +306,25 @@ def _embed(params, input_ids, inputs_embeds, policy):
 
 def _logits(params, x, policy, cfg: Optional[LLMConfig] = None):
     if "output_q" in params:
-        y = x @ params["output_q"].T.astype(x.dtype)
-        y = (y * params["output_scale"][:, 0].astype(x.dtype)).astype(policy.logits_dtype)
+        q = params["output_q"]  # (V, E) torch lm-head layout
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        mode = _int8_kernel_wanted(rows)
+        if mode is not None and q.shape[0] % 128 == 0 and q.shape[1] % 128 == 0:
+            # fused-dequant head matmul: the V x E int8 (~380 MB on the 8B)
+            # is the single biggest per-decode-step weight read
+            from callireader_tpu.kernels.int8_matmul import int8_matmul_nt
+
+            y = int8_matmul_nt(
+                x.reshape(rows, x.shape[-1]), q,
+                params["output_scale"][:, 0],
+                interpret=(mode == "interpret"),
+            ).reshape(*x.shape[:-1], q.shape[0]).astype(policy.logits_dtype)
+        else:
+            y = x @ q.T.astype(x.dtype)
+            y = (y * params["output_scale"][:, 0].astype(x.dtype)).astype(
+                policy.logits_dtype)
     else:
         y = (x @ params["output"].T.astype(x.dtype)).astype(policy.logits_dtype)
     if cfg is not None and cfg.real_vocab_size is not None and cfg.real_vocab_size < y.shape[-1]:

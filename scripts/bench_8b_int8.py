@@ -91,6 +91,8 @@ def main(argv=None):
         params[f"{name}_q"] = q
         params[f"{name}_scale"] = s
         print(f"[8b-int8] shipped {name}", file=sys.stderr)
+    # 128-pad the vocab tables so the fused-dequant head kernel engages
+    params, cfg = internlm2.pad_vocab(params, cfg, 128)
     n_bytes = sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(params))
     print(f"[8b-int8] params on device: {n_bytes/1e9:.2f} GB "
           f"(built+shipped in {time.time()-t0:.0f}s)", file=sys.stderr)
