@@ -1,0 +1,85 @@
+"""Trained-CalliAlign fixture pin: the committed asset must recognize the
+real fixture page's characters through the ENGINE-dtype (bf16) char path.
+
+The metric: each GT char crop of /root/reference/examples/0.jpg (95 of 96
+are single vocab tokens) runs bicubic-canvas -> char ViT -> projector ->
+resampler, and every pseudo token cosine-VQs over the FULL 92553-row table
+(the deployed contract, reference models/similarity.py:8-26 +
+modeling_internvl_chat.py:602-637). Per-char = majority of the 3 pseudo
+tokens. This is the only end-to-end recognition-quality signal this
+environment permits (no real weights / CalliBench parquet exist here); see
+train/callialign_train.py for the training data's honest scope.
+
+Skipped when the trained asset is absent (it is committed by round-4
+training, scripts/train_callialign.py) or predates the char-ViT delta (v1).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+ASSET = os.path.join(os.path.dirname(__file__), "..", "callireader_tpu",
+                     "assets", "callialign.npz")
+FIXTURE = "/root/reference/examples/0.jpg"
+
+# pinned just under the committed asset's measured clean-fixture accuracy
+# (meta["eval"]["fix_clean"]) so a regression in the load/merge/engine path
+# fails loudly while augmentation-free re-measurement noise does not
+MIN_CHAR_ACC = 0.75
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="no reference fixture")
+def test_fixture_char_accuracy():
+    if not os.path.exists(ASSET):
+        pytest.skip("trained callialign asset not committed yet")
+    meta = json.loads(str(np.load(ASSET)["meta"]))
+    if meta.get("version", 1) < 2:
+        pytest.skip("asset predates the char-ViT delta")
+
+    from callireader_tpu.core.config import get_config
+    from callireader_tpu.core.dtypes import DEFAULT_POLICY
+    from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer, DEFAULT_MODEL
+    from callireader_tpu.train import callialign_train as ca
+
+    cfg = get_config("callireader-2b")  # align stack identical to the 8b
+    tok = InternLM2Tokenizer(DEFAULT_MODEL)
+    fixture = ca.fixture_samples(tok)
+    assert len(fixture) == 95
+
+    applied = ca.apply_asset(cfg, ASSET, jnp.bfloat16)
+    assert "char_vision" in applied
+    frozen = ca.build_frozen(cfg)  # bf16 projector + table, engine dtype
+    frozen["vision"] = applied["char_vision"]
+
+    canvas = int(meta.get("canvases", [448])[0])
+    trainable_like = None  # merged already; run the plain forward
+
+    crops = [c[b[0]:b[2], b[1]:b[3]] for c, b, _, _ in fixture]
+    labels = np.asarray([t for _, _, _, t in fixture], np.int32)
+
+    correct = 0
+    chunk = 16
+    for i in range(0, len(crops), chunk):
+        raw, src, tgt = ca.pack_raw_batch(crops[i:i + chunk])
+        feats = ca._encode(frozen, cfg, jnp.asarray(raw), jnp.asarray(src),
+                           jnp.asarray(tgt), canvas, DEFAULT_POLICY,
+                           use_flash=False, vit_trainable=trainable_like)
+        res = {"small": None, "lora": None}
+        out = ca.resampler.forward(
+            applied["resampler"], cfg.resampler, feats, policy=DEFAULT_POLICY)
+        out = out.astype(jnp.float32)
+        out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True),
+                                1e-12)
+        sims = jnp.einsum("bne,ve->bnv", out, frozen["table_n"])
+        idx = np.asarray(jnp.argmax(sims, axis=-1))  # (b, 3)
+        maj = (idx == labels[i:i + chunk, None]).sum(1)
+        correct += int((maj * 2 > idx.shape[1]).sum())
+        del res
+
+    acc = correct / len(crops)
+    print(f"fixture char accuracy (clean, canvas {canvas}): {acc:.3f}")
+    assert acc >= MIN_CHAR_ACC
