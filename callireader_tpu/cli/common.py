@@ -16,7 +16,7 @@ _ASSETS_DIR = os.path.join(
 )
 
 
-def _overlay_trained_assets(params: dict, cfg: VLMConfig, replaceable: set) -> None:
+def _overlay_trained_assets(params: dict, cfg: VLMConfig, replaceable: set) -> VLMConfig:
     """Overlay the in-repo trained slicing-prior checkpoints — the TPU
     analogues of the reference's separately-shipped params/best.pt (YOLO) and
     params/orderformer.pth (config/configu.py:61-62) — onto components that
@@ -64,15 +64,27 @@ def _overlay_trained_assets(params: dict, cfg: VLMConfig, replaceable: set) -> N
     # separate params/vit_model.pt char-path module.
     ca_path = os.path.join(_ASSETS_DIR, "callialign.npz")
     if ("resampler" in replaceable and cfg.resampler == res_d
+            and cfg.char_vision is None
             and cfg.llm.hidden_size == 4096 and os.path.exists(ca_path)):
-        from callireader_tpu.train.callialign_train import apply_asset
+        from callireader_tpu.train import callialign_train as _ca
 
         import jax.numpy as jnp
 
-        params.update(apply_asset(cfg, ca_path, jnp.bfloat16))
-        tower = "+char_vision" if "char_vision" in params else ""
-        print(f"[engine] trained CalliAlign{tower} loaded from {ca_path}",
-              file=sys.stderr)
+        if _ca.asset_version(ca_path) >= 3:
+            # compact char tower trained from scratch: swap in BOTH the
+            # params and the compact char_vision/resampler architecture
+            stack, cfg, meta = _ca.apply_v3_asset(cfg, ca_path, jnp.bfloat16)
+            params.update(stack)
+            acc = (meta.get("eval", {}).get("fix_clean") or [[0, 0, 0]])[0]
+            print(f"[engine] trained CalliAlign compact tower loaded from "
+                  f"{ca_path} (fixture char acc {acc[-1]:.3f})",
+                  file=sys.stderr)
+        else:
+            params.update(_ca.apply_asset(cfg, ca_path, jnp.bfloat16))
+            tower = "+char_vision" if "char_vision" in params else ""
+            print(f"[engine] trained CalliAlign{tower} loaded from {ca_path}",
+                  file=sys.stderr)
+    return cfg
 
 
 def build_engine(
@@ -190,11 +202,14 @@ def build_engine(
         raise ValueError(f"unknown quant mode {quant!r}")
 
     if trained_assets:
-        _overlay_trained_assets(params, cfg, random_components)
-        if quant == "int8-all" and "char_vision" in params:
-            # overlay runs after the quant block; the merged char ViT gets
-            # the same W8A8 treatment as the tile tower (it IS the char-crop
-            # encode that dominates the pipeline's device time)
+        cfg = _overlay_trained_assets(params, cfg, random_components)
+        if (quant == "int8-all" and "char_vision" in params
+                and cfg.char_vision is None):
+            # overlay runs after the quant block; a v2 merged char ViT gets
+            # the same W8A8 treatment as the tile tower. The v3 compact
+            # tower stays bf16: at ~14M params / ~250x fewer FLOPs it is
+            # noise in the profile and per-channel scales would cost more
+            # than they save.
             from callireader_tpu.runtime.quantize import quantize_vit_int8
 
             params["char_vision"] = quantize_vit_int8(params["char_vision"])

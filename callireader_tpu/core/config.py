@@ -98,6 +98,11 @@ class ResamplerConfig:
     heads: int = 8
     num_learns: int = 3
     ff_mult: int = 4
+    # When set (compact CalliAlign tower, docs/CALLIALIGN.md), a final linear
+    # projects the num_learns outputs from `dim` to `out_dim` so the VQ still
+    # runs over the 4096-dim token table. None = reference shape (dim == VQ
+    # dim, no extra layer).
+    out_dim: Optional[int] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,6 +144,14 @@ class VLMConfig:
 
     vision: VisionConfig = dataclasses.field(default_factory=VisionConfig)
     llm: LLMConfig = dataclasses.field(default_factory=LLMConfig)
+    # Dedicated char-path encoder. The reference deploys its char encoder as
+    # a SEPARATE module (params/vit_model.pt, config/configu.py:7 +
+    # models/model.py:20-30) — same freedom here: when set, the calli_align
+    # path runs this compact tower (params["char_vision"] +
+    # params["char_projector"]) instead of the shared tile tower, and the
+    # char canvas/content scale follow its image_size. None = share the tile
+    # tower (reference InternViT shapes).
+    char_vision: Optional[VisionConfig] = None
     resampler: ResamplerConfig = dataclasses.field(default_factory=ResamplerConfig)
     orderformer: OrderFormerConfig = dataclasses.field(default_factory=OrderFormerConfig)
     detector: DetectorConfig = dataclasses.field(default_factory=DetectorConfig)

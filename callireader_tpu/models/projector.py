@@ -21,9 +21,19 @@ from callireader_tpu.models.internvit import layer_norm
 Params = Dict[str, Any]
 
 
-def init_params(key: jax.Array, cfg: VLMConfig, dtype=jnp.bfloat16) -> Params:
-    vit_e = cfg.vision.hidden_size
-    llm_e = cfg.llm.hidden_size
+def init_params(
+    key: jax.Array,
+    cfg: VLMConfig,
+    dtype=jnp.bfloat16,
+    *,
+    vit_hidden: int = 0,
+    out_dim: int = 0,
+) -> Params:
+    """``vit_hidden``/``out_dim`` override the tile-tower dims for the
+    compact char-path projector (cfg.char_vision -> resampler dim); 0 = the
+    reference mlp1 shapes (modeling_internvl_chat.py:185-190)."""
+    vit_e = vit_hidden or cfg.vision.hidden_size
+    llm_e = out_dim or cfg.llm.hidden_size
     in_dim = vit_e * int(1 / cfg.downsample_ratio) ** 2
     k1, k2 = jax.random.split(key)
     init = jax.nn.initializers.normal(0.02)

@@ -33,7 +33,12 @@ def init_params(key: jax.Array, cfg: ResamplerConfig, dtype=jnp.bfloat16) -> Par
     def w(k, shape):
         return init(k, shape, jnp.float32).astype(dtype)
 
+    out = {} if cfg.out_dim is None else {
+        "out_kernel": w(ks[6], (E, cfg.out_dim)),
+        "out_bias": jnp.zeros((cfg.out_dim,), dtype),
+    }
     return {
+        **out,
         "learns": jax.random.normal(ks[0], (cfg.num_learns, E), jnp.float32).astype(dtype),
         "layers": {
             "norm_media_scale": jnp.ones((L, E), dtype),
@@ -56,8 +61,11 @@ def init_params(key: jax.Array, cfg: ResamplerConfig, dtype=jnp.bfloat16) -> Par
 
 
 def logical_axes(cfg: ResamplerConfig) -> Params:
-    del cfg
+    out = {} if cfg.out_dim is None else {
+        "out_kernel": ("embed", None), "out_bias": (None,),
+    }
     return {
+        **out,
         "learns": (None, "embed"),
         "layers": {
             "norm_media_scale": ("stack", "norm"), "norm_media_bias": ("stack", "norm"),
@@ -132,7 +140,12 @@ def forward(
         return learns + h, None
 
     learns, _ = jax.lax.scan(body, learns, (params["layers"], lora))
-    return layer_norm(learns, params["norm_scale"], params["norm_bias"], LN_EPS, policy)
+    learns = layer_norm(learns, params["norm_scale"], params["norm_bias"], LN_EPS, policy)
+    if cfg.out_dim is not None:
+        # compact-tower VQ projection: dim -> the 4096-dim token-table space
+        learns = (learns @ params["out_kernel"].astype(learns.dtype)
+                  + params["out_bias"].astype(learns.dtype))
+    return learns
 
 
 # ---------------------------------------------------------------------------

@@ -74,7 +74,9 @@ def engine_logical_axes(cfg: VLMConfig, params: Dict[str, Any]) -> Dict[str, Any
                         a["layers"][leaf] = ("stack",)
             axes[name] = a
         elif name in ("vision", "char_vision"):
-            a = internvit.logical_axes(cfg.vision)
+            vcfg = (cfg.char_vision if name == "char_vision"
+                    and cfg.char_vision is not None else cfg.vision)
+            a = internvit.logical_axes(vcfg)
             if any(k.endswith("_kernel_q") for k in sub["layers"]):
                 from callireader_tpu.runtime.quantize import (
                     quantized_vit_logical_axes,
@@ -82,7 +84,7 @@ def engine_logical_axes(cfg: VLMConfig, params: Dict[str, Any]) -> Dict[str, Any
 
                 a = quantized_vit_logical_axes(a, sub)
             axes[name] = a
-        elif name == "projector":
+        elif name in ("projector", "char_projector"):
             axes[name] = projector.logical_axes(cfg)
         elif name == "resampler":
             axes[name] = resampler.logical_axes(cfg.resampler)

@@ -74,7 +74,7 @@ def init_all_params(
         llm = init_llm_int8_device(ks[0], cfg.llm, dtype=dtype)
     else:
         llm = internlm2.init_params(ks[0], cfg.llm, dtype)
-    return {
+    out = {
         "llm": llm,
         "vision": internvit.init_params(ks[1], cfg.vision, dtype),
         "projector": projector.init_params(ks[2], cfg, dtype),
@@ -87,6 +87,16 @@ def init_all_params(
             "sigma": jnp.ones((V,), jnp.float32),
         },
     }
+    if cfg.char_vision is not None:
+        # dedicated compact char tower (fold_in keys keep the 7-way split —
+        # and thus every other seed-0 component — byte-stable)
+        out["char_vision"] = internvit.init_params(
+            jax.random.fold_in(key, 101), cfg.char_vision, dtype)
+        out["char_projector"] = projector.init_params(
+            jax.random.fold_in(key, 102), cfg, dtype,
+            vit_hidden=cfg.char_vision.hidden_size,
+            out_dim=cfg.resampler.dim)
+    return out
 
 
 @dataclasses.dataclass
@@ -170,19 +180,35 @@ class CalliReaderEngine:
         # 677 tokens + quadratic attention), at the cost of the resampler
         # seeing 169 instead of 256 projected tokens — near- but not
         # bit-parity with reference CalliAlign outputs, so default OFF.
-        canvas = char_canvas or cfg.force_image_size
-        if canvas != cfg.force_image_size:
-            patch = cfg.vision.patch_size
-            if canvas % patch or (canvas // patch) % 2:
+        if cfg.char_vision is not None:
+            # Compact char tower: the canvas IS the tower's native size, and
+            # the [200,350] content rule rescales to it (char_content_dims at
+            # this input_size), so the lever/validation below do not apply.
+            if char_canvas and char_canvas != cfg.char_vision.image_size:
                 raise ValueError(
-                    f"char_canvas {canvas} must be a multiple of "
-                    f"{2 * patch} (even patch grid for pixel-shuffle)")
-            content_hi = preprocess.char_content_canvas(cfg.force_image_size)
-            if canvas < content_hi:
-                raise ValueError(
-                    f"char_canvas {canvas} cannot hold the [200,{content_hi}] "
-                    f"char content scale")
+                    f"char_canvas {char_canvas} conflicts with the dedicated "
+                    f"char tower's native {cfg.char_vision.image_size}")
+            canvas = cfg.char_vision.image_size
+        else:
+            canvas = char_canvas or cfg.force_image_size
+            if canvas != cfg.force_image_size:
+                patch = cfg.vision.patch_size
+                if canvas % patch or (canvas // patch) % 2:
+                    raise ValueError(
+                        f"char_canvas {canvas} must be a multiple of "
+                        f"{2 * patch} (even patch grid for pixel-shuffle)")
+                content_hi = preprocess.char_content_canvas(cfg.force_image_size)
+                if canvas < content_hi:
+                    raise ValueError(
+                        f"char_canvas {canvas} cannot hold the [200,{content_hi}] "
+                        f"char content scale")
         self.char_canvas = canvas
+        # input_size the [200,350] content rule is evaluated at: the compact
+        # tower scales content to ITS canvas; the shared tower keeps the
+        # reference 448 semantics even under the 364 canvas lever
+        self.char_content_size = (
+            cfg.char_vision.image_size if cfg.char_vision is not None
+            else cfg.force_image_size)
         # Max crops per fused char-pipeline dispatch. Bounds the program's
         # live set: a 192-crop window holds a 1.6 GB ViT-MLP intermediate
         # (192x1025x4096 bf16), and next to the decode KV cache that pushes
@@ -229,10 +255,20 @@ class CalliReaderEngine:
         return self._encode_tower(params["vision"], params, pixel_values)
 
     def _char_encode_impl(self, params, pixel_values):
-        """Char-path tower: the trained CalliAlign char ViT when present —
-        the reference deploys the char-path encoder as a SEPARATE module
-        (params/vit_model.pt, config/configu.py:7 + models/model.py:20-30) —
-        else the shared tile tower."""
+        """Char-path tower: the reference deploys its char-path encoder as a
+        SEPARATE module (params/vit_model.pt, config/configu.py:7 +
+        models/model.py:20-30). cfg.char_vision set = the dedicated compact
+        tower (own projector, trained from scratch — docs/CALLIALIGN.md);
+        else a char_vision overlay over the tile-tower architecture, else
+        the shared tile tower."""
+        if self.cfg.char_vision is not None:
+            hidden = internvit.forward(
+                params["char_vision"], self.cfg.char_vision, pixel_values,
+                policy=self.policy, use_flash=self.use_flash,
+            )
+            return projector.extract_feature(
+                params["char_projector"], hidden, self.cfg, policy=self.policy
+            )
         return self._encode_tower(
             params.get("char_vision", params["vision"]), params, pixel_values
         )
@@ -433,7 +469,7 @@ class CalliReaderEngine:
         (tests/test_native_prep.py)."""
         from callireader_tpu.vision import native
 
-        size = self.cfg.force_image_size
+        size = self.char_content_size
         buckets = preprocess.char_canvas_buckets(size)
         by_bucket: Dict[int, List[int]] = {}
         for i, c in enumerate(raw_crops):
@@ -480,7 +516,7 @@ class CalliReaderEngine:
         Returns ([(idxs, raw, src_hw, tgt_hw)], host_indices)."""
         from callireader_tpu.vision.device_resize import CHAR_RAW_BUCKETS
 
-        size = self.cfg.force_image_size
+        size = self.char_content_size
         hi = preprocess.char_content_canvas(size)
         by_bucket: Dict[int, List[int]] = {}
         host_idx: List[int] = []
@@ -586,7 +622,7 @@ class CalliReaderEngine:
             idxs, stack = groups[0]
             order = np.argsort(idxs)
             return stack[order]
-        size = self.cfg.force_image_size
+        size = self.char_content_size
         canvas = preprocess.char_canvas_buckets(size)[-1]
         n = len(raw_crops)
         out = np.full((n, canvas, canvas, 3), 255, np.uint8)

@@ -37,7 +37,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from callireader_tpu.core.config import ResamplerConfig, VLMConfig
+from callireader_tpu.core.config import ResamplerConfig, VisionConfig, VLMConfig
 from callireader_tpu.core.dtypes import DTypePolicy, DEFAULT_POLICY
 from callireader_tpu.models import internvit, projector, resampler
 from callireader_tpu.models.resampler import LORA_MATS
@@ -414,11 +414,29 @@ def load_asset(path: str) -> Tuple[Dict, Dict]:
     return out, meta
 
 
+def asset_version(path: str) -> int:
+    z = np.load(path, allow_pickle=False)
+    return json.loads(str(z["meta"])).get("version", 1)
+
+
+def apply_v3_asset(cfg: VLMConfig, path: str, dtype=jnp.bfloat16):
+    """v3 asset -> (params {char_vision, char_projector, resampler},
+    cfg with char_vision/resampler replaced by the asset's compact
+    architecture). The caller swaps BOTH into the engine build."""
+    import dataclasses
+
+    stack, meta = load_v3_asset(path, dtype)
+    vcfg, rcfg = v3_configs(meta)
+    cfg = dataclasses.replace(cfg, char_vision=vcfg, resampler=rcfg)
+    return stack, cfg, meta
+
+
 def apply_asset(cfg: VLMConfig, path: str, dtype=jnp.bfloat16) -> Dict:
     """assets/callialign.npz -> {"resampler": merged params, "char_vision":
     merged char-ViT or absent (v1 assets)} over the seed-0 base (the engine's
     random init) — used by cli/common._overlay_trained_assets. The char ViT
-    mirrors the reference's separate params/vit_model.pt module."""
+    mirrors the reference's separate params/vit_model.pt module. v3 assets
+    (compact tower) go through apply_v3_asset instead."""
     trained, meta = load_asset(path)
     scale = meta.get("lora_scale", 1.0)
     base = base_resampler_params(cfg.resampler, dtype)
@@ -587,10 +605,194 @@ def build_frozen(cfg: VLMConfig, dtype=jnp.bfloat16,
     return out
 
 
-def init_aux_head(key: jax.Array, cfg: VLMConfig, n_classes: int) -> Dict:
-    """Training-only linear probe over mean-pooled ViT+projector features."""
-    E = cfg.llm.hidden_size
+def init_aux_head(key: jax.Array, cfg: VLMConfig, n_classes: int,
+                  dim: int = 0) -> Dict:
+    """Training-only linear probe over mean-pooled ViT+projector features.
+    ``dim``: feature width (v3 compact stack: cfg.resampler.dim — the char
+    projector's output); 0 = the v2 llm-width features."""
+    E = dim or cfg.llm.hidden_size
     return {
         "w": jax.random.normal(key, (E, n_classes), jnp.float32) * (E ** -0.5),
         "b": jnp.zeros((n_classes,), jnp.float32),
     }
+
+
+# ---------------------------------------------------------------------------
+# v3: the COMPACT char tower, trained from scratch
+# ---------------------------------------------------------------------------
+#
+# The v2 recipe above adapts the engine's 24-layer seed-0 InternViT with LoRA
+# — and measurably cannot escape its random-backbone pathologies outside the
+# fixed-batch overfit regime (docs/CALLIALIGN.md). The reference never faces
+# this: it ships a TRAINED char encoder as a separate artifact
+# (params/vit_model.pt, config/configu.py:7 + models/model.py:20-30), with
+# the resampler trained against frozen GOOD features. The honest equivalent
+# in a no-pretrained-weights environment is a char tower sized to be
+# trainable from scratch on the data that exists here — which is also the
+# right TPU design: the 24-layer/1025-token tile tower at 448px is ~250x the
+# FLOPs this 100-175px glyph task needs (it was 56% of the round-3 device
+# interval). Same contract end to end: crop -> [200,350]-rule content scale
+# (at the tower's own 224 canvas) -> ViT -> pixel-shuffle projector ->
+# PerceiverResampler -> 3 pseudo tokens -> cosine VQ over the full table.
+
+CHAR_VISION_V3 = VisionConfig(
+    hidden_size=256,
+    intermediate_size=1024,
+    num_hidden_layers=6,
+    num_attention_heads=8,
+    image_size=224,
+    patch_size=14,
+)
+
+CHAR_RESAMPLER_V3 = ResamplerConfig(
+    dim=512, depth=3, dim_head=64, heads=8, num_learns=3, ff_mult=2,
+    out_dim=4096,
+)
+
+
+def v3_configs(meta: Dict) -> Tuple[VisionConfig, ResamplerConfig]:
+    """Architecture of a v3 asset, from its meta (falls back to the shipping
+    defaults — meta pins them so old assets survive default changes)."""
+    v = meta.get("char_vision", {})
+    r = meta.get("char_resampler", {})
+    import dataclasses
+
+    return (dataclasses.replace(CHAR_VISION_V3, **v),
+            dataclasses.replace(CHAR_RESAMPLER_V3, **r))
+
+
+def init_v3_params(key: jax.Array, cfg: VLMConfig, *, white_center: bool = True,
+                   dtype=jnp.float32) -> Dict:
+    """From-scratch {char_vision, char_projector, resampler} with
+    cfg.char_vision/cfg.resampler compact shapes. ``white_center``: init the
+    patch-embed bias so the all-white patch embeds to exactly 0 — the white
+    canvas margin then contributes nothing and ink deviation is the signal
+    from step 0 (the v2 collapse analysis, docs/CALLIALIGN.md)."""
+    kv, kp, kr = jax.random.split(key, 3)
+    vis = internvit.init_params(kv, cfg.char_vision, dtype)
+    if white_center:
+        P = cfg.char_vision.patch_size
+        white = ((1.0 - np.asarray(internvit.IMAGENET_MEAN))
+                 / np.asarray(internvit.IMAGENET_STD))
+        wvec = jnp.asarray(np.repeat(white, P * P), dtype)
+        vis["patch_embed"]["bias"] = -(wvec @ vis["patch_embed"]["kernel"])
+    proj = projector.init_params(kp, cfg, dtype,
+                                 vit_hidden=cfg.char_vision.hidden_size,
+                                 out_dim=cfg.resampler.dim)
+    res = resampler.init_params(kr, cfg.resampler, dtype)
+    return {"char_vision": vis, "char_projector": proj, "resampler": res}
+
+
+def v3_forward(stack: Dict, cfg: VLMConfig, raw, src, tgt,
+               policy: DTypePolicy, *, return_ink: bool = False):
+    """raw luma crops -> on-device bicubic 224-canvas -> compact ViT ->
+    char projector -> resampler -> L2-normalized (B, 3, 4096) pseudo
+    tokens. The inference engine runs the identical ops
+    (engine._char_pipeline_raw_impl with cfg.char_vision set)."""
+    canvas = cfg.char_vision.image_size
+    x = bicubic_canvas(raw, src, tgt, canvas)            # (B, S, S) luma
+    ink = _ink_weights(x, cfg.char_vision.patch_size) if return_ink else None
+    x = jnp.broadcast_to(x[..., None], (*x.shape, 3))
+    hidden = internvit.forward(stack["char_vision"], cfg.char_vision, x,
+                               policy=policy, use_flash=False)
+    feats = projector.extract_feature(stack["char_projector"], hidden, cfg,
+                                      policy=policy)
+    out = resampler.forward(stack["resampler"], cfg.resampler, feats,
+                            policy=policy)
+    out = out.astype(jnp.float32)
+    out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True), 1e-12)
+    return (out, feats, ink) if return_ink else out
+
+
+def make_v3_step_fn(cfg: VLMConfig, policy: DTypePolicy, optimizer,
+                    aux_weight: float = 0.5):
+    """Jitted from-scratch train step. Heads as in make_step_fn: (1) CE of
+    each pseudo token against the single-char sub-table rows (deployment-
+    equivalent — see make_step_fn's untrained-row bound), (2) aux CE of an
+    ink-weighted pooled-feature probe (training-only; insurance against the
+    white-margin collapse mode, dropped from the asset)."""
+
+    def loss_fn(trainable, frozen, batch):
+        raw, src, tgt, cls_labels = batch
+        out, feats, ink = v3_forward(trainable["stack"], cfg, raw, src, tgt,
+                                     policy, return_ink=True)
+        scale = jnp.minimum(jnp.exp(trainable["logit_scale"]), 100.0)
+        logits = jnp.einsum("bne,ce->bnc", out, frozen["table_sub"]) * scale
+        lab = jnp.broadcast_to(cls_labels[:, None], logits.shape[:2])
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        loss_vq = -jnp.mean(jnp.take_along_axis(logp, lab[..., None], axis=-1))
+        acc = jnp.mean((jnp.argmax(logits, -1) == lab).astype(jnp.float32))
+
+        w = ink / jnp.maximum(ink.sum(axis=1, keepdims=True), 1e-6)
+        pooled = jnp.einsum("bn,bne->be", w, feats.astype(jnp.float32))
+        aux_logits = pooled @ trainable["aux"]["w"] + trainable["aux"]["b"]
+        aux_logp = jax.nn.log_softmax(aux_logits, axis=-1)
+        loss_aux = -jnp.mean(
+            jnp.take_along_axis(aux_logp, cls_labels[:, None], axis=-1))
+        aux_acc = jnp.mean(
+            (jnp.argmax(aux_logits, -1) == cls_labels).astype(jnp.float32))
+        return loss_vq + aux_weight * loss_aux, (loss_vq, acc, aux_acc)
+
+    def step(trainable, opt_state, frozen, batch):
+        (_, (loss_vq, acc, aux_acc)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(trainable, frozen, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, trainable)
+        import optax
+
+        trainable = optax.apply_updates(trainable, updates)
+        return trainable, opt_state, loss_vq, acc, aux_acc
+
+    return jax.jit(step, donate_argnums=(0, 1))
+
+
+def make_v3_eval_fn(cfg: VLMConfig, policy: DTypePolicy):
+    """Full-table VQ top-1 per pseudo token + per-char majority."""
+
+    def eval_fn(stack, table_n, raw, src, tgt, labels):
+        out = v3_forward(stack, cfg, raw, src, tgt, policy)
+        sims = jnp.einsum("bne,ve->bnv", out, table_n)
+        idx = jnp.argmax(sims, axis=-1)
+        per_tok = jnp.mean((idx == labels[:, None]).astype(jnp.float32))
+        maj = jnp.sum((idx == labels[:, None]).astype(jnp.int32), axis=1)
+        per_char = jnp.mean((maj * 2 > idx.shape[1]).astype(jnp.float32))
+        return per_tok, per_char, idx
+
+    return jax.jit(eval_fn)
+
+
+def build_v3_frozen(cfg: VLMConfig,
+                    class_token_ids: Optional[Sequence[int]] = None) -> Dict:
+    """The v3 training targets: just the normalized seed-0 VQ table (+ the
+    single-char sub-table) — no frozen towers exist in the compact recipe."""
+    table = align_table(cfg.llm.vocab_size, cfg.llm.hidden_size, jnp.float32)
+    t = table / jnp.maximum(jnp.linalg.norm(table, axis=-1, keepdims=True), 1e-12)
+    out = {"table_n": t}
+    if class_token_ids is not None:
+        out["table_sub"] = t[jnp.asarray(np.asarray(class_token_ids))]
+    return out
+
+
+def save_v3_asset(path: str, stack: Dict, meta: Dict) -> None:
+    """Full compact-stack params, fp16 (the stack is ~14M params; fp16 keeps
+    the committed asset ~30 MB and is cast to the engine dtype at load)."""
+    flat = {"meta": json.dumps({"version": 3, **meta})}
+    paths = jax.tree_util.tree_flatten_with_path(stack)[0]
+    for kp, leaf in paths:
+        name = "/".join(str(getattr(k, "key", k)) for k in kp)
+        flat["v3/" + name] = np.asarray(leaf, np.float16)
+    np.savez_compressed(path, **flat)
+
+
+def load_v3_asset(path: str, dtype=jnp.bfloat16) -> Tuple[Dict, Dict]:
+    z = np.load(path, allow_pickle=False)
+    meta = json.loads(str(z["meta"]))
+    stack: Dict = {}
+    for k in z.files:
+        if not k.startswith("v3/"):
+            continue
+        node = stack
+        parts = k[3:].split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(z[k], dtype)
+    return stack, meta

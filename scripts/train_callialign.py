@@ -1,17 +1,27 @@
-"""Train CalliAlign (resampler LoRA + small leaves) and emit assets/callialign.npz.
+"""Train the compact CalliAlign stack from scratch and emit assets/callialign.npz.
 
-  python scripts/train_callialign.py --steps 4000 --batch 48 --rank 64 \
+  python scripts/train_callialign.py --steps 6000 --batch 96 \
       --out callireader_tpu/assets/callialign.npz
 
-See callireader_tpu/train/callialign_train.py for what is being trained and
-the honest scope of the resulting metric. Runs on the real TPU (axon) by
-default; --cpu forces local CPU (tiny smoke runs only — the frozen ViT is the
-full InternViT-300M).
+v3 recipe (docs/CALLIALIGN.md): a COMPACT char tower (6-layer/256-wide ViT at
+its own 224 canvas + char projector + compact resampler with a 4096-dim VQ
+projection) trained end to end from scratch — the honest analogue of the
+reference's separately-shipped, separately-trained char encoder
+(params/vit_model.pt, config/configu.py:7 + models/model.py:20-30). The v2
+recipe (LoRA over the engine's 24-layer seed-0 random InternViT) is kept in
+train/callialign_train.py with its measured failure analysis; outside the
+fixed-batch overfit regime it never escaped the random-backbone collapse.
+
+Training data is a FINITE pool of pre-generated augmented views (fixture
+crops + procedural glyphs), iterated in epochs — the regime that trained the
+detector and OrderFormer. Runs on the real TPU (axon) by default; --cpu for
+smoke runs.
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
 import os
 import queue
@@ -26,34 +36,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=4000)
-    p.add_argument("--batch", type=int, default=48)
-    p.add_argument("--rank", type=int, default=64)
-    p.add_argument("--vit-rank", type=int, default=32)
+    p.add_argument("--steps", type=int, default=6000)
+    p.add_argument("--batch", type=int, default=96)
+    p.add_argument("--lr", type=float, default=2e-3)
+    p.add_argument("--warmup", type=int, default=300)
+    p.add_argument("--weight-decay", type=float, default=1e-4)
+    p.add_argument("--aux-weight", type=float, default=0.5)
+    p.add_argument("--fixed-views", type=int, default=48,
+                   help="augmented views per fixture class in the FINITE "
+                   "training pool (0 = infinite fresh-augmentation stream)")
+    p.add_argument("--synth-views", type=int, default=8,
+                   help="views per synthetic glyph class in the pool")
     p.add_argument("--no-white-center", dest="white_center",
                    action="store_false", default=True)
-    p.add_argument("--aux-weight", type=float, default=1.0)
-    p.add_argument("--bf16", action="store_true",
-                   help="train in bf16 (stalls; see the fp32 default note)")
-    p.add_argument("--ls-init", type=float, default=0.1,
-                   help="ReZero-style re-init of the trainable ls1/ls2: the "
-                   "seed-0 base's ls=1 runs 24 RANDOM blocks at full scale, "
-                   "scrambling both features and gradients; starting small "
-                   "keeps the (information-preserving) patch embedding "
-                   "dominant and lets training re-admit depth as it learns")
-    p.add_argument("--lr", type=float, default=3e-4)
-    p.add_argument("--warmup", type=int, default=200)
-    p.add_argument("--canvas", type=str, default="448,364",
-                   help="comma list; steps round-robin so the asset works at "
-                   "both the parity canvas and the FLOP-lever canvas")
-    p.add_argument("--p-fixture", type=float, default=0.5)
+    p.add_argument("--p-fixture", type=float, default=0.5,
+                   help="fixture share of each streaming batch (stream mode)")
     p.add_argument("--strength", type=float, default=1.0)
     p.add_argument("--synth-chars", type=int, default=0,
                    help="cap on synthetic distractor classes (0 = all ~7k)")
-    p.add_argument("--eval-every", type=int, default=250)
+    p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--out", type=str,
                    default="callireader_tpu/assets/callialign.npz")
-    p.add_argument("--resume", type=str, default=None)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
@@ -67,21 +70,22 @@ def main(argv=None):
 
     from callireader_tpu.core.cache import enable_compilation_cache
     from callireader_tpu.core.config import get_config
-    from callireader_tpu.core.dtypes import DEFAULT_POLICY, FP32_POLICY
+    from callireader_tpu.core.dtypes import FP32_POLICY
     from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer, DEFAULT_MODEL
     from callireader_tpu.train import callialign_train as ca
 
     enable_compilation_cache()
-    cfg = get_config("callireader-2b")  # vision/resampler/align identical to 8b
-    # fp32 by default: early-training feature differences between chars are
-    # ~1% of magnitude — BELOW bf16's 0.4% resolution — so bf16 training
-    # stalls at the batch-prior collapse floor while fp32 converges (fixed
-    # 32-sample overfit: bf16 vq_acc 0.06 flat, fp32 0.97 by step 425 at
-    # just +15% step time). Inference stays bf16: trained outputs are
-    # well-separated, far above bf16 resolution.
-    policy = DEFAULT_POLICY if args.bf16 else FP32_POLICY
+    # llm hidden/vocab (the align table + VQ space) are identical 2b/8b
+    cfg = dataclasses.replace(
+        get_config("callireader-2b"),
+        char_vision=ca.CHAR_VISION_V3,
+        resampler=ca.CHAR_RESAMPLER_V3,
+    )
+    canvas = cfg.char_vision.image_size
+    # fp32 training (the v2 analysis measured bf16 stalling below its 0.4%
+    # resolution; at 14M params the fp32 step is cheap anyway)
+    policy = FP32_POLICY
     tok = InternLM2Tokenizer(DEFAULT_MODEL)
-    canvases = [int(c) for c in args.canvas.split(",")]
 
     print("[data] building fixture + synthetic class lists", flush=True)
     fixture = ca.fixture_samples(tok)
@@ -90,76 +94,42 @@ def main(argv=None):
     synth = [(tid, ch) for tid, ch in vocab if tid not in fix_tids]
     if args.synth_chars:
         synth = synth[: args.synth_chars]
-    print(f"[data] fixture chars: {len(fixture)}, synthetic classes: {len(synth)}",
-          flush=True)
-    # label space for the training heads: every single-char vocab piece;
-    # tid -> class index (the eval fn still argmaxes the FULL 92553 table)
-    cls_of_tid = {tid: i for i, (tid, _ch) in enumerate(vocab)}
+    print(f"[data] fixture chars: {len(fixture)}, synthetic classes: "
+          f"{len(synth)}", flush=True)
     cls_map = np.full(tok.vocab_size, -1, np.int64)
-    for tid, i in cls_of_tid.items():
+    for i, (tid, _ch) in enumerate(vocab):
         cls_map[tid] = i
 
-    frozen = jax.device_put(ca.build_frozen(
+    frozen = jax.device_put(ca.build_v3_frozen(
         cfg, class_token_ids=[tid for tid, _ch in vocab]))
-    base_res = jax.device_put(ca.base_resampler_params(cfg.resampler))
 
     key = jax.random.PRNGKey(args.seed + 1)
-    kr, kv = jax.random.split(key)
     trainable = {
-        "small": ca.small_leaves(base_res),
-        "lora": ca.init_lora(kr, {k: np.asarray(v) for k, v in
-                                  base_res["layers"].items()
-                                  if k in ca.LORA_MATS}, args.rank),
-        # the char-ViT delta: without it the encoder is a frozen RANDOM init
-        # and features are near-degenerate (callialign_train.init_vit_lora)
-        "vit_small": ca.vit_small_leaves(frozen["vision"]),
-        "vit_lora": ca.init_vit_lora(kv, frozen["vision"]["layers"],
-                                     args.vit_rank),
+        "stack": ca.init_v3_params(key, cfg, white_center=args.white_center),
         "logit_scale": jnp.asarray(np.log(1.0 / 0.07), jnp.float32),
-        # training-only encoder probe (callialign_train.make_step_fn head 2)
         "aux": ca.init_aux_head(jax.random.PRNGKey(args.seed + 2), cfg,
-                                len(vocab)),
+                                len(vocab), dim=cfg.resampler.dim),
     }
-    for k in ("ls1", "ls2"):
-        trainable["vit_small"]["layers"][k] = jnp.full_like(
-            trainable["vit_small"]["layers"][k], args.ls_init)
-    if args.white_center:
-        # Collapse-breaking init: at seed-0 init, outputs for DIFFERENT chars
-        # have pairwise cos 0.9958 (measured) because every patch — white
-        # canvas and mostly-paper content alike — embeds near the same
-        # constant vector, so attention pooling returns a sample-independent
-        # mean and the encoder gradient is quantization noise. Centering the
-        # patch embedding on the all-white patch (bias := -white_vec @ W)
-        # makes white tokens exactly 0, leaving ink deviation as the signal.
-        from callireader_tpu.models.internvit import IMAGENET_MEAN, IMAGENET_STD
-
-        P = cfg.vision.patch_size
-        white = (1.0 - np.asarray(IMAGENET_MEAN)) / np.asarray(IMAGENET_STD)
-        wvec = jnp.asarray(np.repeat(white, P * P), jnp.float32)  # (C*P*P,) c-major
-        pe = trainable["vit_small"]["patch_embed"]
-        pe["bias"] = -(wvec @ pe["kernel"])
-        # the (shared, additive) position embedding re-grows if useful
-        trainable["vit_small"]["pos_embed"] = trainable["vit_small"]["pos_embed"] * 0.1
-    if args.resume and os.path.exists(args.resume):
-        loaded, meta = ca.load_asset(args.resume)
-        for k in ("small", "lora", "vit_small", "vit_lora"):
-            if k in loaded:
-                trainable[k] = loaded[k]
-        print(f"[resume] loaded {args.resume} (meta {meta})", flush=True)
+    n_par = sum(int(np.prod(x.shape)) for x in
+                jax.tree.leaves(trainable["stack"]))
+    print(f"[model] compact stack: {n_par/1e6:.1f}M params "
+          f"(canvas {canvas})", flush=True)
 
     warmup = min(args.warmup, max(1, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
         0.0, args.lr, warmup, max(args.steps, warmup + 1), args.lr * 0.05)
-    optimizer = optax.adamw(sched, weight_decay=1e-4)
+    optimizer = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, weight_decay=args.weight_decay),
+    )
     opt_state = optimizer.init(trainable)
 
-    steps = {c: ca.make_step_fn(cfg, c, policy, optimizer,
-                                use_flash=None if not args.cpu else False,
-                                aux_weight=args.aux_weight)
-             for c in canvases}
-    evals = {c: ca.make_eval_fn(cfg, c, policy,
-                                use_flash=None if not args.cpu else False)
-             for c in canvases}
+    step_fn = ca.make_v3_step_fn(cfg, policy, optimizer,
+                                 aux_weight=args.aux_weight)
+    eval_fn = ca.make_v3_eval_fn(cfg, policy)
+
+    def pack(crops):
+        return ca.pack_raw_batch(crops, input_size=canvas)
 
     # fixed eval sets: clean fixture crops + held-out augmented views + synth
     ev_rng = np.random.RandomState(12345)
@@ -185,23 +155,54 @@ def main(argv=None):
                 c = np.asarray(Image.fromarray(c).resize(
                     (max(2, int(c.shape[1] * s)), max(2, int(c.shape[0] * s)))))
             crops.append(c)
-        raw, src, tgt = ca.pack_raw_batch(crops)
+        raw, src, tgt = pack(crops)
         return raw, src, tgt, np.asarray([t for _, t in pairs], np.int32)
 
     eval_sets = {"fix_clean": eval_pack(fix_clean),
                  "fix_aug": eval_pack(fix_aug),
                  "synth": eval_pack(synth_eval)}
 
-    # background batch producer: host augmentation overlaps the device step
     sampler = ca.BatchSampler(fixture, synth, np.random.RandomState(args.seed),
                               p_fixture=args.p_fixture, strength=args.strength)
+
+    pool = None
+    if args.fixed_views:
+        # FINITE dataset, iterated in epochs — the regime that trained the
+        # detector and OrderFormer (streaming fresh augmentations gave the
+        # v2 recipe nothing stable to bootstrap on; a finite pool lets
+        # memorization seed clustering)
+        pr = np.random.RandomState(args.seed + 7)
+        crops, labs = [], []
+        for c, b, _ch, tid in fixture:
+            for _ in range(args.fixed_views):
+                crops.append(ca.augment_luma(c, pr, box=b,
+                                             strength=args.strength))
+                labs.append(tid)
+        for tid, ch in synth:
+            g = sampler._glyph(ch)
+            for _ in range(args.synth_views):
+                crops.append(ca.augment_luma(g, pr, strength=args.strength))
+                labs.append(tid)
+        pool = (crops, np.asarray(labs, np.int64))
+        print(f"[data] fixed pool: {len(crops)} views "
+              f"({args.fixed_views}/fixture class, "
+              f"{args.synth_views}/synth class)", flush=True)
+
+    # background batch producer: host packing overlaps the device step
     q: "queue.Queue" = queue.Queue(maxsize=4)
     stop = threading.Event()
 
     def produce():
+        rng = np.random.RandomState(args.seed + 13)
         while not stop.is_set():
             try:
-                q.put(sampler.sample(args.batch), timeout=1.0)
+                if pool is not None:
+                    idx = rng.randint(len(pool[0]), size=args.batch)
+                    raw, src, tgt = pack([pool[0][i] for i in idx])
+                    q.put((raw, src, tgt, pool[1][idx]), timeout=1.0)
+                else:
+                    raw, src, tgt, labels = sampler.sample(args.batch)
+                    q.put((raw, src, tgt, labels), timeout=1.0)
             except queue.Full:
                 continue
 
@@ -210,26 +211,23 @@ def main(argv=None):
 
     def run_eval(tag):
         out = {}
-        ev_chunk = args.batch  # reuse the train-step batch shape (compiled once)
+        ev_chunk = args.batch
         for name, (raw, src, tgt, labels) in eval_sets.items():
-            accs = []
-            for c in canvases:
-                toks, chars, n = 0.0, 0.0, len(labels)
-                for i in range(0, n, ev_chunk):
-                    sl = slice(i, i + ev_chunk)
-                    m = len(labels[sl])
-                    pads = ev_chunk - m
-                    pt, pc, _ = evals[c](
-                        trainable, frozen, base_res,
-                        np.pad(raw[sl], ((0, pads), (0, 0), (0, 0))),
-                        np.pad(src[sl], ((0, pads), (0, 0)), constant_values=1),
-                        np.pad(tgt[sl], ((0, pads), (0, 0)), constant_values=1),
-                        np.pad(labels[sl], (0, pads), constant_values=-1))
-                    # padded rows can never match label -1; rescale the means
-                    toks += float(pt) * ev_chunk
-                    chars += float(pc) * ev_chunk
-                accs.append((c, toks / n, chars / n))
-            out[name] = accs
+            toks, chars, n = 0.0, 0.0, len(labels)
+            for i in range(0, n, ev_chunk):
+                sl = slice(i, i + ev_chunk)
+                m = len(labels[sl])
+                pads = ev_chunk - m
+                pt, pc, _ = eval_fn(
+                    trainable["stack"], frozen["table_n"],
+                    np.pad(raw[sl], ((0, pads), (0, 0), (0, 0))),
+                    np.pad(src[sl], ((0, pads), (0, 0)), constant_values=1),
+                    np.pad(tgt[sl], ((0, pads), (0, 0)), constant_values=1),
+                    np.pad(labels[sl], (0, pads), constant_values=-1))
+                # padded rows can never match label -1; rescale the means
+                toks += float(pt) * ev_chunk
+                chars += float(pc) * ev_chunk
+            out[name] = [(canvas, toks / n, chars / n)]
         msg = " | ".join(
             f"{name} " + " ".join(f"c{c}:tok{pt:.3f}/chr{pc:.3f}"
                                   for c, pt, pc in accs)
@@ -237,15 +235,27 @@ def main(argv=None):
         print(f"[eval {tag}] {msg}", flush=True)
         return out
 
+    def save(tag, res):
+        meta = {
+            "char_vision": dataclasses.asdict(cfg.char_vision),
+            "char_resampler": dataclasses.asdict(cfg.resampler),
+            "steps": tag, "canvases": [canvas],
+            "eval": res,
+            "n_fixture": len(fixture), "n_synth": len(synth),
+            "fixed_views": args.fixed_views, "lr": args.lr,
+        }
+        ca.save_v3_asset(args.out, jax.device_get(trainable["stack"]), meta)
+        print(f"[ckpt] saved {args.out} "
+              f"({os.path.getsize(args.out)/1e6:.1f} MB)", flush=True)
+
     t0 = time.time()
     losses = []
     try:
         for it in range(args.steps):
             raw, src, tgt, labels = q.get()
             cls = cls_map[labels].astype(np.int32)
-            canvas = canvases[it % len(canvases)]
-            trainable, opt_state, loss, acc, aux_acc = steps[canvas](
-                trainable, opt_state, frozen, base_res,
+            trainable, opt_state, loss, acc, aux_acc = step_fn(
+                trainable, opt_state, frozen,
                 (jnp.asarray(raw), jnp.asarray(src), jnp.asarray(tgt),
                  jnp.asarray(cls)))
             losses.append(loss)
@@ -255,16 +265,7 @@ def main(argv=None):
                       f"acc {float(acc):.3f} aux_acc {float(aux_acc):.3f} "
                       f"({(time.time()-t0)/(it+1):.2f}s/step)", flush=True)
             if (it + 1) % args.eval_every == 0 or it + 1 == args.steps:
-                res = run_eval(it + 1)
-                meta = {
-                    "rank": args.rank, "vit_rank": args.vit_rank, "lora_scale": 1.0,
-                    "steps": it + 1, "canvases": canvases,
-                    "eval": {k: v for k, v in res.items()},
-                    "n_fixture": len(fixture), "n_synth": len(synth),
-                }
-                ca.save_asset(args.out, jax.device_get(trainable), meta)
-                print(f"[ckpt] saved {args.out} "
-                      f"({os.path.getsize(args.out)/1e6:.1f} MB)", flush=True)
+                save(it + 1, run_eval(it + 1))
     finally:
         stop.set()
 

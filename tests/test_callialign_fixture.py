@@ -37,8 +37,8 @@ def test_fixture_char_accuracy():
     if not os.path.exists(ASSET):
         pytest.skip("trained callialign asset not committed yet")
     meta = json.loads(str(np.load(ASSET)["meta"]))
-    if meta.get("version", 1) < 2:
-        pytest.skip("asset predates the char-ViT delta")
+    if meta.get("version", 1) < 3:
+        pytest.skip("asset predates the compact char tower")
 
     from callireader_tpu.core.config import get_config
     from callireader_tpu.core.dtypes import DEFAULT_POLICY
@@ -50,13 +50,10 @@ def test_fixture_char_accuracy():
     fixture = ca.fixture_samples(tok)
     assert len(fixture) == 95
 
-    applied = ca.apply_asset(cfg, ASSET, jnp.bfloat16)
-    assert "char_vision" in applied
-    frozen = ca.build_frozen(cfg)  # bf16 projector + table, engine dtype
-    frozen["vision"] = applied["char_vision"]
-
-    canvas = int(meta.get("canvases", [448])[0])
-    trainable_like = None  # merged already; run the plain forward
+    # bf16 load = the engine dtype: this pins the DEPLOYED path's accuracy
+    stack, cfg, _meta = ca.apply_v3_asset(cfg, ASSET, jnp.bfloat16)
+    table_n = ca.build_v3_frozen(cfg)["table_n"]
+    canvas = cfg.char_vision.image_size
 
     crops = [c[b[0]:b[2], b[1]:b[3]] for c, b, _, _ in fixture]
     labels = np.asarray([t for _, _, _, t in fixture], np.int32)
@@ -64,21 +61,14 @@ def test_fixture_char_accuracy():
     correct = 0
     chunk = 16
     for i in range(0, len(crops), chunk):
-        raw, src, tgt = ca.pack_raw_batch(crops[i:i + chunk])
-        feats = ca._encode(frozen, cfg, jnp.asarray(raw), jnp.asarray(src),
-                           jnp.asarray(tgt), canvas, DEFAULT_POLICY,
-                           use_flash=False, vit_trainable=trainable_like)
-        res = {"small": None, "lora": None}
-        out = ca.resampler.forward(
-            applied["resampler"], cfg.resampler, feats, policy=DEFAULT_POLICY)
-        out = out.astype(jnp.float32)
-        out = out / jnp.maximum(jnp.linalg.norm(out, axis=-1, keepdims=True),
-                                1e-12)
-        sims = jnp.einsum("bne,ve->bnv", out, frozen["table_n"])
+        raw, src, tgt = ca.pack_raw_batch(crops[i:i + chunk],
+                                          input_size=canvas)
+        out = ca.v3_forward(stack, cfg, jnp.asarray(raw), jnp.asarray(src),
+                            jnp.asarray(tgt), DEFAULT_POLICY)
+        sims = jnp.einsum("bne,ve->bnv", out, table_n)
         idx = np.asarray(jnp.argmax(sims, axis=-1))  # (b, 3)
         maj = (idx == labels[i:i + chunk, None]).sum(1)
         correct += int((maj * 2 > idx.shape[1]).sum())
-        del res
 
     acc = correct / len(crops)
     print(f"fixture char accuracy (clean, canvas {canvas}): {acc:.3f}")
