@@ -190,9 +190,34 @@ def main():
     # fewer tunnel bytes kills the transfer stalls that fattened the IQR.
     # BENCH_DEVICE_TILES=0 reverts to host tiling (A/B knob).
     device_tiles = os.environ.get("BENCH_DEVICE_TILES", "1") not in ("", "0")
-    # BENCH_CHAR_CANVAS=364: the char-ViT canvas FLOP lever (A/B knob;
-    # default = reference 448 canvas — the headline stays parity-workload)
+    # Trained CalliAlign compact char tower (assets/callialign.npz v3,
+    # scripts/train_callialign.py): swaps the char path's 24-layer/448px
+    # shared-tower encode for the dedicated 6-layer/224px trained stack —
+    # same contract (crop -> 3 pseudo tokens -> full-table VQ), ~250x fewer
+    # char-encode FLOPs, and the only configuration with a MEASURED
+    # recognition metric (fixture char acc in the asset meta). This is the
+    # deployed default (cli/common autoloads it), so the headline runs it.
+    # BENCH_CALLIALIGN=0 reverts to the shared-tower char path (A/B knob).
+    ca_mode = "random"
+    CA_CKPT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "callireader_tpu", "assets", "callialign.npz")
+    if (not SMOKE and os.path.exists(CA_CKPT)
+            and cfg.llm.hidden_size == 4096
+            and os.environ.get("BENCH_CALLIALIGN", "1") not in ("", "0")):
+        from callireader_tpu.train import callialign_train as _ca
+
+        if _ca.asset_version(CA_CKPT) >= 3:
+            stack, cfg, _ca_meta = _ca.apply_v3_asset(cfg, CA_CKPT, jnp.bfloat16)
+            params.update(stack)
+            _acc = (_ca_meta.get("eval", {}).get("fix_clean") or [[0, 0, 0]])[0]
+            ca_mode = f"trained_ckpt(fix_acc={_acc[-1]:.3f})"
+            print(f"[bench] trained CalliAlign compact tower: fixture char "
+                  f"acc {_acc[-1]:.3f}", file=sys.stderr)
+    # BENCH_CHAR_CANVAS=364: the char-ViT canvas FLOP lever on the SHARED
+    # tower (A/B knob; the compact tower pins its own 224 canvas)
     char_canvas = int(os.environ.get("BENCH_CHAR_CANVAS", "0")) or None
+    if ca_mode != "random":
+        char_canvas = None
     # BENCH_CHAR_WINDOW: crops per fused char dispatch (live-set knob)
     char_window = int(os.environ.get("BENCH_CHAR_WINDOW", "0")) or None
     engine = CalliReaderEngine(
@@ -477,6 +502,7 @@ def main():
                     "page": page_source,
                     "detector": det_mode,
                     "orderformer": of_mode,
+                    "callialign": ca_mode,
                     "chars_per_image": int(n_chars),
                     "tiles_per_image": int(n_tiles),
                     "char_canvas": int(engine.char_canvas),

@@ -89,6 +89,10 @@ def main(argv=None):
 
     print("[data] building fixture + synthetic class lists", flush=True)
     fixture = ca.fixture_samples(tok)
+    # the trained detector's own crops on the page, IoU-matched to GT —
+    # closes the train/deploy box-geometry gap (see fixture_detector_samples)
+    det_fix = ca.fixture_detector_samples(tok)
+    print(f"[data] detector-matched fixture crops: {len(det_fix)}", flush=True)
     vocab = ca.single_char_vocab(tok)
     fix_tids = {tid for _, _, _, tid in fixture}
     synth = [(tid, ch) for tid, ch in vocab if tid not in fix_tids]
@@ -161,6 +165,10 @@ def main(argv=None):
     eval_sets = {"fix_clean": eval_pack(fix_clean),
                  "fix_aug": eval_pack(fix_aug),
                  "synth": eval_pack(synth_eval)}
+    if det_fix:
+        # clean detector crops at the EXACT deployed box (no margin/jitter)
+        eval_sets["fix_det"] = eval_pack(
+            [(c[b[0]:b[2], b[1]:b[3]], t) for c, b, _ch, t in det_fix])
 
     sampler = ca.BatchSampler(fixture, synth, np.random.RandomState(args.seed),
                               p_fixture=args.p_fixture, strength=args.strength)
@@ -174,6 +182,11 @@ def main(argv=None):
         pr = np.random.RandomState(args.seed + 7)
         crops, labs = [], []
         for c, b, _ch, tid in fixture:
+            for _ in range(args.fixed_views):
+                crops.append(ca.augment_luma(c, pr, box=b,
+                                             strength=args.strength))
+                labs.append(tid)
+        for c, b, _ch, tid in det_fix:
             for _ in range(args.fixed_views):
                 crops.append(ca.augment_luma(c, pr, box=b,
                                              strength=args.strength))

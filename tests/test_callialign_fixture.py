@@ -27,9 +27,9 @@ ASSET = os.path.join(os.path.dirname(__file__), "..", "callireader_tpu",
 FIXTURE = "/root/reference/examples/0.jpg"
 
 # pinned just under the committed asset's measured clean-fixture accuracy
-# (meta["eval"]["fix_clean"]) so a regression in the load/merge/engine path
-# fails loudly while augmentation-free re-measurement noise does not
-MIN_CHAR_ACC = 0.75
+# (meta["eval"]["fix_clean"]: 1.000 at 14k steps) so a regression in the
+# load/cast/engine path fails loudly while bf16 re-measurement noise does not
+MIN_CHAR_ACC = 0.95
 
 
 @pytest.mark.skipif(not os.path.exists(FIXTURE), reason="no reference fixture")
