@@ -419,11 +419,16 @@ def main():
 
     def pipeline_step():
         nonlocal prev, last
-        rows = build_batch(state["ordered"])
+        # OrderFormer forward queues FIRST: behind only the in-flight decode,
+        # ahead of build_batch's char/tile encodes — its score readback in
+        # the device-free gap then waits one RPC, not the next batch's
+        # encode queue (r4: the compact char tower shrank the interval 2.8x
+        # and box_order_fetch went 0.04 -> 1.0 s/batch until this reorder)
         odisp = _timed(
             "box_order_dispatch", engine.order_dispatch,
             _timed("box_columns", engine.columns_stage,
                    pages_list, state["dets"]))
+        rows = build_batch(state["ordered"])
         sync(prev)
         now = time.time()
         iv = now - last

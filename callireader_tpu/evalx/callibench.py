@@ -121,17 +121,20 @@ def _ocr_task(
                 handle[2] = engine.detect_dispatch(get_imgs(2))
         for i in range(K):
             cur = get_imgs(i)
+            odisp = None
+            if use_p and i + 1 < K:
+                # pure host, overlaps the in-flight decode; the OrderFormer
+                # forward queues FIRST — behind only the in-flight decode,
+                # ahead of batch_build_rows' char/tile encodes — so its
+                # score readback in the device-free gap waits one RPC, not
+                # the next batch's encode queue (see bench.pipeline_step)
+                odisp = engine.order_dispatch(
+                    engine.columns_stage(get_imgs(i + 1), dets.pop(i + 1)))
             rows = engine.batch_build_rows(
                 cur, [prompt] * len(cur), ordered_lists=ordered.pop(i, None),
                 **row_kw
             )
             imgs.pop(i, None)
-            odisp = None
-            if use_p and i + 1 < K:
-                # pure host, overlaps the in-flight decode; the OrderFormer
-                # forward then queues behind it (async dispatch, no readback)
-                odisp = engine.order_dispatch(
-                    engine.columns_stage(get_imgs(i + 1), dets.pop(i + 1)))
             if prepared is not None:  # decode i-1 retires
                 responses.extend(t2s(r) for r in engine.batch_decode(prepared))
             if odisp is not None:  # device-free gap: score readback only

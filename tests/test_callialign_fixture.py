@@ -26,37 +26,31 @@ ASSET = os.path.join(os.path.dirname(__file__), "..", "callireader_tpu",
                      "assets", "callialign.npz")
 FIXTURE = "/root/reference/examples/0.jpg"
 
-# pinned just under the committed asset's measured clean-fixture accuracy
-# (meta["eval"]["fix_clean"]: 1.000 at 14k steps) so a regression in the
-# load/cast/engine path fails loudly while bf16 re-measurement noise does not
+# pinned just under the committed asset's measured accuracies
+# (meta["eval"]: fix_clean 1.000, fix_det 0.990 at 14k steps) so a regression
+# in the load/cast/engine path fails loudly while bf16 re-measurement noise
+# does not
 MIN_CHAR_ACC = 0.95
+# the deployed-geometry pin: GT crops replaced by the trained detector's own
+# boxes (IoU-matched to GT), i.e. exactly what chat_ocr feeds the align path.
+# the v3 asset (GT-box training only) scored 0.485 here; v4 trains on
+# detector-matched crops and measures 0.990 fp32
+MIN_DET_CHAR_ACC = 0.93
 
 
-@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="no reference fixture")
-def test_fixture_char_accuracy():
-    if not os.path.exists(ASSET):
-        pytest.skip("trained callialign asset not committed yet")
-    meta = json.loads(str(np.load(ASSET)["meta"]))
-    if meta.get("version", 1) < 3:
-        pytest.skip("asset predates the compact char tower")
-
+def _char_accuracy(samples):
     from callireader_tpu.core.config import get_config
     from callireader_tpu.core.dtypes import DEFAULT_POLICY
-    from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer, DEFAULT_MODEL
     from callireader_tpu.train import callialign_train as ca
 
     cfg = get_config("callireader-2b")  # align stack identical to the 8b
-    tok = InternLM2Tokenizer(DEFAULT_MODEL)
-    fixture = ca.fixture_samples(tok)
-    assert len(fixture) == 95
-
     # bf16 load = the engine dtype: this pins the DEPLOYED path's accuracy
     stack, cfg, _meta = ca.apply_v3_asset(cfg, ASSET, jnp.bfloat16)
     table_n = ca.build_v3_frozen(cfg)["table_n"]
     canvas = cfg.char_vision.image_size
 
-    crops = [c[b[0]:b[2], b[1]:b[3]] for c, b, _, _ in fixture]
-    labels = np.asarray([t for _, _, _, t in fixture], np.int32)
+    crops = [c[b[0]:b[2], b[1]:b[3]] for c, b, _, _ in samples]
+    labels = np.asarray([t for _, _, _, t in samples], np.int32)
 
     correct = 0
     chunk = 16
@@ -69,7 +63,42 @@ def test_fixture_char_accuracy():
         idx = np.asarray(jnp.argmax(sims, axis=-1))  # (b, 3)
         maj = (idx == labels[i:i + chunk, None]).sum(1)
         correct += int((maj * 2 > idx.shape[1]).sum())
+    return correct / len(crops), canvas
 
-    acc = correct / len(crops)
+
+def _skip_unless_ready():
+    if not os.path.exists(ASSET):
+        pytest.skip("trained callialign asset not committed yet")
+    meta = json.loads(str(np.load(ASSET)["meta"]))
+    if meta.get("version", 1) < 3:
+        pytest.skip("asset predates the compact char tower")
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="no reference fixture")
+def test_fixture_char_accuracy():
+    _skip_unless_ready()
+    from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer, DEFAULT_MODEL
+    from callireader_tpu.train import callialign_train as ca
+
+    tok = InternLM2Tokenizer(DEFAULT_MODEL)
+    fixture = ca.fixture_samples(tok)
+    assert len(fixture) == 95
+    acc, canvas = _char_accuracy(fixture)
     print(f"fixture char accuracy (clean, canvas {canvas}): {acc:.3f}")
     assert acc >= MIN_CHAR_ACC
+
+
+@pytest.mark.skipif(not os.path.exists(FIXTURE), reason="no reference fixture")
+def test_fixture_char_accuracy_detector_boxes():
+    """Same metric through the trained detector's OWN boxes — the geometry
+    chat_ocr actually deploys (engine.detect -> crop -> align)."""
+    _skip_unless_ready()
+    from callireader_tpu.runtime.tokenizer import InternLM2Tokenizer, DEFAULT_MODEL
+    from callireader_tpu.train import callialign_train as ca
+
+    tok = InternLM2Tokenizer(DEFAULT_MODEL)
+    det_fix = ca.fixture_detector_samples(tok)
+    assert len(det_fix) >= 90  # detector recall on the fixture page
+    acc, canvas = _char_accuracy(det_fix)
+    print(f"fixture char accuracy (detector boxes, canvas {canvas}): {acc:.3f}")
+    assert acc >= MIN_DET_CHAR_ACC
