@@ -196,17 +196,21 @@ import os as _os
 
 # int8 decode-matmul kernel dispatch: None = auto (TPU, few rows), "0"/"1"
 # force off/on (tests run it in interpret mode on CPU via "interpret")
-_INT8_KERNEL_MODE = _os.environ.get("CALLIREADER_INT8_KERNEL")
 _INT8_KERNEL_MAX_ROWS = 32
 
 
 def _int8_kernel_wanted(rows: int) -> Optional[str]:
-    """'' = pallas on device, 'interpret' = pallas interpret, None = XLA."""
-    if _INT8_KERNEL_MODE == "0":
+    """'' = pallas on device, 'interpret' = pallas interpret, None = XLA.
+
+    The env var is read per call (dispatch happens at trace time, off the hot
+    path) so flipping CALLIREADER_INT8_KERNEL after import still takes effect.
+    """
+    mode = _os.environ.get("CALLIREADER_INT8_KERNEL")
+    if mode == "0":
         return None
-    if _INT8_KERNEL_MODE == "interpret":
+    if mode == "interpret":
         return "interpret"
-    if _INT8_KERNEL_MODE == "1" or (
+    if mode == "1" or (
         rows <= _INT8_KERNEL_MAX_ROWS
         and jax.default_backend() == "tpu"
     ):

@@ -135,10 +135,20 @@ class PagedBatcher(PrefixCacheMixin):
             lambda p, ids: internlm2.embed_tokens(p, ids, jnp.float32)
         )
 
-        from callireader_tpu.runtime.serving import _pick_tokens
+        from callireader_tpu.runtime.serving import _penalize, _pick_tokens
 
         self.seen = jnp.zeros((num_slots, cfg.vocab_size), jnp.bool_)
         self._pick = jax.jit(_pick_tokens, donate_argnums=(1,))
+        # post-prefill seed pick for windowed mode: same repetition-penalty
+        # semantics as _pick_tokens against the slot's (re-marked) seen row —
+        # a raw argmax would diverge from the uncontended run for resumed
+        # requests with penalty != 1.0. seen marking of the picked token
+        # happens when _step_windowed consumes the pending ref.
+        self._pick_seed = jax.jit(
+            lambda lg, seen_row, pen: jnp.argmax(
+                _penalize(lg[None], seen_row[None], pen[None])[0]
+            ).astype(jnp.int32)
+        )
         self._clear_seen = jax.jit(
             lambda seen, slot: seen.at[slot].set(False), donate_argnums=(0,)
         )
@@ -386,7 +396,15 @@ class PagedBatcher(PrefixCacheMixin):
                 bucket = gen.bucket_length(max(S, self.page))
             except ValueError:
                 self.queue.pop(0)
-                self._reject(req, f"prompt length {S} exceeds buckets")
+                if req.tokens:
+                    # resumed after preemption and the grown prompt no longer
+                    # buckets: retire as length-finished with the output it
+                    # already produced (the uncontended run would have kept
+                    # at least these tokens) — never discard generated text
+                    # on a scheduling artifact
+                    self.done.append(req)
+                else:
+                    self._reject(req, f"prompt length {S} exceeds buckets")
                 continue
             bucket = -(-bucket // self.page) * self.page
             # admission guard: the prompt (plus the windowed-mode decode
@@ -397,11 +415,16 @@ class PagedBatcher(PrefixCacheMixin):
             headroom = self.steps_per_sync if self.steps_per_sync > 1 else 0
             if bucket + headroom > cap:
                 self.queue.pop(0)
-                self._reject(
-                    req,
-                    f"prompt bucket {bucket} + window {headroom} exceeds slot "
-                    f"capacity {cap} ({self.P} pages x {self.page})",
-                )
+                if req.tokens:
+                    # resumed request outgrew a slot: length-finish, keep
+                    # tokens (see bucket-overflow branch above)
+                    self.done.append(req)
+                else:
+                    self._reject(
+                        req,
+                        f"prompt bucket {bucket} + window {headroom} exceeds "
+                        f"slot capacity {cap} ({self.P} pages x {self.page})",
+                    )
                 continue
             n_pages = bucket // self.page
             # watermark: leave growth headroom for the decodes already running
@@ -463,8 +486,13 @@ class PagedBatcher(PrefixCacheMixin):
                 else:
                     req.tokens = []
                 if self.steps_per_sync > 1:
-                    # device ref: admits pipeline; resolved in _step_windowed
-                    self._pending[s] = jnp.argmax(logits[i])
+                    # device ref: admits pipeline; resolved in _step_windowed.
+                    # Penalty-aware pick (not raw argmax): a resumed request's
+                    # seed token must see the freshly re-marked seen rows
+                    self._pending[s] = self._pick_seed(
+                        logits[i], self.seen[s],
+                        jnp.asarray(req.repetition_penalty, jnp.float32),
+                    )
 
     def step(self) -> int:
         self._admit()

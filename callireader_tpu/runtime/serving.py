@@ -33,11 +33,15 @@ from callireader_tpu.models import internlm2
 from callireader_tpu.runtime import generate as gen
 
 
+def _penalize(logits, seen, pens):
+    """HF repetition penalty over the already-seen vocab rows, per slot."""
+    pen = jnp.where(logits < 0, logits * pens[:, None], logits / pens[:, None])
+    return jnp.where(seen, pen, logits)
+
+
 def _pick_tokens(logits, seen, pens):
     """HF repetition-penalty + greedy argmax for every slot, on device."""
-    pen = jnp.where(logits < 0, logits * pens[:, None], logits / pens[:, None])
-    lg = jnp.where(seen, pen, logits)
-    toks = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+    toks = jnp.argmax(_penalize(logits, seen, pens), axis=-1).astype(jnp.int32)
     seen = seen.at[jnp.arange(seen.shape[0]), toks].set(True)
     return toks, seen
 
@@ -176,8 +180,10 @@ class PrefixCacheMixin:
     def _prehash(self, req: Request) -> None:
         """Memoize the request's digests at the currently registered plens —
         called from submit() (handler thread) so admission matching on the
-        scheduler thread is dictionary lookups, not multi-MB sha1 passes."""
-        for e in self.prefixes:
+        scheduler thread is dictionary lookups, not multi-MB sha1 passes.
+        Iterates a snapshot: register_prefix on the scheduler thread mutates
+        self.prefixes concurrently (a missed entry only costs a memoization)."""
+        for e in list(self.prefixes):
             if req.embeds.shape[0] > e.plen:
                 self._req_digest(req, e.plen)
 

@@ -29,7 +29,7 @@ CFG = LLMConfig(
 
 
 def _run(params, cfg, mode, monkeypatch):
-    monkeypatch.setattr(internlm2, "_INT8_KERNEL_MODE", mode)
+    monkeypatch.setenv("CALLIREADER_INT8_KERNEL", mode)
     ids = jnp.asarray(np.random.RandomState(0).randint(5, 900, (2, 7)))
     logits, cache = internlm2.prefill(
         params, cfg, input_ids=ids, max_len=32, cache_dtype=jnp.float32,

@@ -30,14 +30,15 @@ def _embeds(params, ids):
     return np.asarray(internlm2.embed_tokens(params, jnp.asarray(ids), jnp.float32))
 
 
-def _run(params, prompts, max_new, **kw):
+def _run(params, prompts, max_new, repetition_penalty=1.0, **kw):
     b = PagedBatcher(
         params, CFG, policy=FP32_POLICY, use_flash=False,
         cache_dtype=jnp.float32, **kw,
     )
     for uid, ids in enumerate(prompts):
         b.submit(Request(uid, _embeds(params, np.asarray(ids)[None])[0],
-                         max_new_tokens=max_new, eos_token_ids=(-1,)))
+                         max_new_tokens=max_new, eos_token_ids=(-1,),
+                         repetition_penalty=repetition_penalty))
     done = b.run()
     assert all(r.error is None for r in done), [r.error for r in done]
     return {r.uid: r.tokens for r in done}, b
@@ -113,6 +114,94 @@ def test_preemption_windowed_mode():
     assert b.n_preempted >= 1
     assert len(b.pool.free) == 9
     assert got == base
+
+
+def test_preemption_windowed_repetition_penalty_parity():
+    """A preempted-then-resumed request's post-prefill seed token must go
+    through the repetition penalty against the re-marked seen rows (not a raw
+    argmax), or the resumed generation diverges from the uncontended run."""
+    params = _params()
+    rng = np.random.default_rng(4)
+    prompts = [
+        [1] + list(rng.integers(2, 50, size=12)),
+        [2] + list(rng.integers(2, 50, size=14)),
+        [3] + list(rng.integers(2, 50, size=16)),
+    ]
+    max_new = 96
+    base, b0 = _run(
+        params, prompts, max_new, repetition_penalty=1.5, num_slots=3,
+        num_pages=64, page_size=64, max_pages_per_slot=8, steps_per_sync=4,
+    )
+    assert b0.n_preempted == 0
+    got, b = _run(
+        params, prompts, max_new, repetition_penalty=1.5, num_slots=3,
+        num_pages=10, page_size=64, max_pages_per_slot=8, steps_per_sync=4,
+        alloc_watermark=1,
+    )
+    assert b.n_preempted >= 1
+    assert got == base
+
+
+def test_windowed_resumed_seed_respects_penalty():
+    """Surgical pin for the windowed-mode seed pick: admit a resumed request
+    whose already-generated token IS the post-prefill argmax — with a strong
+    repetition penalty the seed must switch away from it (raw argmax would
+    repeat it), and windowed mode must agree with the per-tick path."""
+    import jax
+
+    params = _params()
+    rng = np.random.default_rng(5)
+    prompt = [1] + list(rng.integers(2, 50, size=12))
+    emb = _embeds(params, np.asarray(prompt)[None])[0]
+    logits, _ = internlm2.prefill(
+        params, CFG, inputs_embeds=jnp.asarray(emb)[None], max_len=128,
+        policy=FP32_POLICY, use_flash=False,
+    )
+    seed_tok = int(np.asarray(jnp.argmax(logits[0])))  # prefill -> (B, V)
+
+    def run(steps_per_sync):
+        b = PagedBatcher(
+            params, CFG, num_slots=1, num_pages=16, page_size=64,
+            max_pages_per_slot=4, policy=FP32_POLICY, use_flash=False,
+            cache_dtype=jnp.float32, steps_per_sync=steps_per_sync,
+        )
+        req = Request(0, emb.copy(), max_new_tokens=6, eos_token_ids=(-1,),
+                      repetition_penalty=8.0)
+        req.tokens = [seed_tok]  # resumed: this id was already generated
+        b.submit(req)
+        done = b.run()
+        assert done[0].error is None
+        return done[0].tokens
+
+    per_tick = run(1)
+    # scenario validity: the penalty really does veto the raw argmax
+    assert per_tick[1] != seed_tok
+    assert run(4) == per_tick
+
+
+def test_resumed_overflow_retires_with_tokens():
+    """A resumed request whose grown prompt no longer fits a slot is retired
+    as length-finished KEEPING its generated tokens — never silently
+    discarded. A fresh request in the same spot is still rejected."""
+    params = _params()
+    b = PagedBatcher(
+        params, CFG, num_slots=2, num_pages=16, page_size=64,
+        max_pages_per_slot=2,  # slot capacity: 128 tokens
+        policy=FP32_POLICY, use_flash=False, cache_dtype=jnp.float32,
+    )
+    ids = np.arange(2, 142)[None]  # 140 rows -> bucket 256 > capacity 128
+    big = _embeds(params, ids)[0]
+    resumed = Request(0, big, max_new_tokens=8, eos_token_ids=(-1,))
+    resumed.tokens = [11, 12, 13]  # as _preempt leaves it: output folded in
+    b.submit(resumed)
+    fresh = Request(1, big.copy(), max_new_tokens=8, eos_token_ids=(-1,))
+    b.submit(fresh)
+    done = b.run()
+    by_uid = {r.uid: r for r in done}
+    assert by_uid[0].error is None
+    assert by_uid[0].tokens == [11, 12, 13]
+    assert by_uid[1].error is not None and by_uid[1].tokens == []
+    assert len(b.pool.free) == 15  # nothing leaked
 
 
 def test_pool_too_small_for_one_request_fails_request_not_server():
