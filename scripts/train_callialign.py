@@ -54,6 +54,17 @@ def main(argv=None):
     p.add_argument("--strength", type=float, default=1.0)
     p.add_argument("--synth-chars", type=int, default=0,
                    help="cap on synthetic distractor classes (0 = all ~7k)")
+    # held-out generalization protocol (docs/CALLIALIGN.md): exclude K
+    # fixture chars' REAL crops from training (they stay trainable classes
+    # through procedural glyph renders only — real-crop accuracy on them
+    # then measures procedural->calligraphy domain transfer), and/or exclude
+    # N synthetic classes entirely (never-seen classes; with this
+    # environment's RANDOM VQ table their rows carry no visual signal, so
+    # this measures the structural floor, not the model)
+    p.add_argument("--holdout-fixture", type=int, default=0,
+                   help="fixture classes whose real crops are held out")
+    p.add_argument("--holdout-synth", type=int, default=0,
+                   help="synthetic classes excluded from training entirely")
     p.add_argument("--eval-every", type=int, default=500)
     p.add_argument("--out", type=str,
                    default="callireader_tpu/assets/callialign.npz")
@@ -98,6 +109,30 @@ def main(argv=None):
     synth = [(tid, ch) for tid, ch in vocab if tid not in fix_tids]
     if args.synth_chars:
         synth = synth[: args.synth_chars]
+
+    held_fix, held_det, held_synth = [], [], []
+    if args.holdout_synth:
+        hr = np.random.RandomState(4243)
+        hidx = set(hr.choice(len(synth), size=args.holdout_synth,
+                             replace=False).tolist())
+        held_synth = [s for i, s in enumerate(synth) if i in hidx]
+        synth = [s for i, s in enumerate(synth) if i not in hidx]
+    if args.holdout_fixture:
+        hr = np.random.RandomState(4242)
+        uniq = sorted({tid for _, _, _, tid in fixture})
+        held_ids = set(int(t) for t in hr.choice(
+            uniq, size=args.holdout_fixture, replace=False))
+        held_fix = [s for s in fixture if s[3] in held_ids]
+        held_det = [s for s in det_fix if s[3] in held_ids]
+        fixture = [s for s in fixture if s[3] not in held_ids]
+        det_fix = [s for s in det_fix if s[3] not in held_ids]
+        # the held-out chars stay trainable CLASSES through procedural glyph
+        # renders only — their real-crop eval measures domain transfer
+        id2ch = {tid: ch for _c, _b, ch, tid in held_fix}
+        synth = synth + [(tid, id2ch[tid]) for tid in sorted(held_ids)]
+        print(f"[data] held out {len(held_ids)} fixture classes "
+              f"({len(held_fix)} crops, {len(held_det)} det crops); "
+              f"{len(held_synth)} synth classes", flush=True)
     print(f"[data] fixture chars: {len(fixture)}, synthetic classes: "
           f"{len(synth)}", flush=True)
     cls_map = np.full(tok.vocab_size, -1, np.int64)
@@ -169,6 +204,17 @@ def main(argv=None):
         # clean detector crops at the EXACT deployed box (no margin/jitter)
         eval_sets["fix_det"] = eval_pack(
             [(c[b[0]:b[2], b[1]:b[3]], t) for c, b, _ch, t in det_fix])
+    if held_fix:
+        # real calligraphy crops of classes trained ONLY on procedural glyphs
+        eval_sets["fix_holdout"] = eval_pack(
+            [(c[b[0]:b[2], b[1]:b[3]], t) for c, b, _ch, t in held_fix])
+    if held_det:
+        eval_sets["fix_det_holdout"] = eval_pack(
+            [(c[b[0]:b[2], b[1]:b[3]], t) for c, b, _ch, t in held_det])
+    if held_synth:
+        hv = held_synth[:: max(1, len(held_synth) // 128)][:128]
+        eval_sets["synth_holdout"] = eval_pack(
+            [(sampler_ev._glyph(ch), t) for t, ch in hv])
 
     sampler = ca.BatchSampler(fixture, synth, np.random.RandomState(args.seed),
                               p_fixture=args.p_fixture, strength=args.strength)
@@ -256,6 +302,8 @@ def main(argv=None):
             "eval": res,
             "n_fixture": len(fixture), "n_synth": len(synth),
             "fixed_views": args.fixed_views, "lr": args.lr,
+            "holdout_fixture": args.holdout_fixture,
+            "holdout_synth": args.holdout_synth,
         }
         ca.save_v3_asset(args.out, jax.device_get(trainable["stack"]), meta)
         print(f"[ckpt] saved {args.out} "
