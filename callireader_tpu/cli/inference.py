@@ -57,6 +57,8 @@ def main(argv=None):
     parser.add_argument("--drop_zero", type=_str2bool, default=False)
     parser.add_argument("--verbose", type=_str2bool, default=False)
     parser.add_argument("--repetition_penalty", type=float, default=1.0)
+    parser.add_argument("--num_beams", type=int, default=1,
+                        help="HF generate parity (reference always 1)")
     parser.add_argument("--preset", type=str, default="callireader-8b")
     parser.add_argument("--checkpoint", type=str, default=os.environ.get("CALLIREADER_CKPT"))
     parser.add_argument("--random-init", action="store_true")
@@ -87,6 +89,7 @@ def main(argv=None):
             image_path, args.prompt,
             use_p=args.use_p, hard_vq=args.hard_vq, drop_zero=args.drop_zero,
             repetition_penalty=args.repetition_penalty,
+            num_beams=args.num_beams,
             return_history=True, verbose=args.verbose,
         )
         return response

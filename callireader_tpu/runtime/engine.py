@@ -991,7 +991,9 @@ class CalliReaderEngine:
 
         max_cache = bucket + gen_cfg.max_new_tokens
         t0 = time.time()
-        tokens, lengths = gen.generate_from_embeds(
+        gen_fn = (gen.beam_generate_from_embeds if gen_cfg.num_beams > 1
+                  else gen.generate_from_embeds)
+        tokens, lengths = gen_fn(
             self.params["llm"], self.cfg.llm, embeds, jnp.asarray(mask),
             gen_cfg=gen_cfg, max_cache_len=max_cache,
             policy=self.policy, use_flash=self.use_flash, mesh=self.mesh,
@@ -1019,10 +1021,13 @@ class CalliReaderEngine:
         hard_vq: bool = False,
         repetition_penalty: float = 1.5,
         max_new_tokens: int = 1024,
+        num_beams: int = 1,
         region_wise: bool = False,
         verbose: bool = False,
     ):
-        """Full CalliReader chat (modeling_internvl_chat.py:649-762)."""
+        """Full CalliReader chat (modeling_internvl_chat.py:649-762).
+        ``num_beams``: HF-generate parity knob (inference.py:92-96 — the
+        reference always passes 1; >1 routes through beam search)."""
         pixel_values = None
         img_np = None
         if image is not None:
@@ -1064,6 +1069,7 @@ class CalliReaderEngine:
             eos_token_ids=(self.tok.convert_tokens_to_ids(conv.sep),),
             pad_token_id=self.tok.pad_token_id,
             repetition_penalty=repetition_penalty,
+            num_beams=num_beams,
         )
         out_tokens = self._generate(input_ids, img_embeds, pseudo, gen_cfg)
         response = self.tok.decode(out_tokens, skip_special_tokens=True)
@@ -1082,12 +1088,13 @@ class CalliReaderEngine:
         return_history: bool = False,
         repetition_penalty: float = 1.0,
         max_new_tokens: int = 1024,
+        num_beams: int = 1,
     ):
         """Plain VLM chat, no CalliAlign (modeling_internvl_chat.py:955-1018)."""
         return self.chat_ocr(
             image, question, history=history, return_history=return_history,
             use_p=False, repetition_penalty=repetition_penalty,
-            max_new_tokens=max_new_tokens,
+            max_new_tokens=max_new_tokens, num_beams=num_beams,
         )
 
     def batch_chat_ocr(

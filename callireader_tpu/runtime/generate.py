@@ -49,6 +49,10 @@ class GenerateConfig:
     temperature: float = 1.0
     top_p: float = 1.0
     top_k: int = 0
+    # >1: beam search (beam_generate_from_embeds), single prompt only — the
+    # reference inherits num_beams from HF generate but always sets 1
+    # (inference.py:92-96, evaluate.py:416-420)
+    num_beams: int = 1
 
 
 def _apply_repetition_penalty(logits: jax.Array, seen: jax.Array, penalty: float) -> jax.Array:
@@ -164,6 +168,139 @@ def generate_from_embeds(
     state = jax.lax.while_loop(cond_fn, step_fn, init)
     tokens, lengths = state[3], state[5]
     return tokens, lengths
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "gen_cfg", "max_cache_len", "use_flash", "policy", "mesh"),
+)
+def beam_generate_from_embeds(
+    params,
+    cfg: LLMConfig,
+    inputs_embeds: jax.Array,  # (1, S, E) — beams only ever serve one prompt
+    attention_mask: jax.Array,  # (1, S)
+    *,
+    gen_cfg: GenerateConfig,
+    max_cache_len: int,
+    policy: DTypePolicy = DEFAULT_POLICY,
+    use_flash: Optional[bool] = None,
+    mesh=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Beam search over ``gen_cfg.num_beams`` beams, fully on-device.
+
+    Matches HF generate for the knobs the reference exposes (num_beams with
+    do_sample=False, length_penalty 1.0: final ranking is sum-logprob /
+    length; repetition penalty per beam over its own generated ids). This is
+    the fixed-beam-slot variant (the t5x/JAX idiom): a finished beam keeps
+    occupying its slot with a frozen score and re-emits pad, so shapes stay
+    static inside one lax.while_loop; the loop ends when every slot is
+    finished or at max_new_tokens. The prompt prefills ONCE — the KV cache is
+    tiled across beams and reordered by beam parent each step with a
+    batch-axis gather (k small, the gather is HBM-cheap next to the weight
+    reads).
+
+    Returns (tokens (1, T), lengths (1,)) — the best beam under the
+    length-normalized score, same contract as generate_from_embeds.
+    """
+    k = gen_cfg.num_beams
+    B, S, _ = inputs_embeds.shape
+    assert B == 1, "beam search serves a single prompt (HF parity)"
+    T = gen_cfg.max_new_tokens
+    V = cfg.vocab_size
+    neg_inf = jnp.float32(-1e30)
+
+    last_logits, cache = internlm2.prefill(
+        params, cfg, inputs_embeds=inputs_embeds, attention_mask=attention_mask,
+        max_len=max_cache_len, policy=policy, use_flash=use_flash, mesh=mesh,
+    )
+    cache = internlm2.KVCache(
+        k=jnp.repeat(cache.k, k, axis=1),
+        v=jnp.repeat(cache.v, k, axis=1),
+        length=cache.length,
+    )
+    logits = jnp.repeat(last_logits, k, axis=0)  # (k, V)
+    kv_valid = jnp.repeat(
+        jax.lax.dynamic_update_slice(
+            jnp.zeros((1, max_cache_len), jnp.int32),
+            attention_mask.astype(jnp.int32), (0, 0),
+        ),
+        k, axis=0,
+    )
+    eos_ids = jnp.asarray(gen_cfg.eos_token_ids, jnp.int32)
+    pad_col = jax.nn.one_hot(gen_cfg.pad_token_id, V, dtype=jnp.float32) > 0
+
+    def step_fn(state):
+        cache, logits, seen, scores, tokens, done, lengths, kv_valid, i = state
+        lp = jax.nn.log_softmax(
+            _apply_repetition_penalty(
+                logits.astype(jnp.float32), seen, gen_cfg.repetition_penalty
+            ),
+            axis=-1,
+        )
+        # live beams fan out over the vocab; a finished beam contributes
+        # exactly one candidate — itself extended by pad at frozen score
+        cand = jnp.where(
+            done[:, None],
+            jnp.where(pad_col[None, :], scores[:, None], neg_inf),
+            scores[:, None] + lp,
+        )
+        top_scores, top_idx = jax.lax.top_k(cand.reshape(-1), k)
+        parent = (top_idx // V).astype(jnp.int32)
+        tok = (top_idx % V).astype(jnp.int32)
+
+        # reorder every per-beam state by parent (incl. the KV cache rows)
+        cache = internlm2.KVCache(
+            k=jnp.take(cache.k, parent, axis=1),
+            v=jnp.take(cache.v, parent, axis=1),
+            length=cache.length,
+        )
+        seen = jnp.take(seen, parent, axis=0)
+        tokens = jnp.take(tokens, parent, axis=0)
+        done = jnp.take(done, parent, axis=0)
+        lengths = jnp.take(lengths, parent, axis=0)
+        kv_valid = jnp.take(kv_valid, parent, axis=0)
+
+        is_eos = jnp.any(tok[:, None] == eos_ids[None, :], axis=-1)
+        tok = jnp.where(done, gen_cfg.pad_token_id, tok)
+        lengths = jnp.where(done, lengths, lengths + 1)
+        tokens = jax.lax.dynamic_update_slice(tokens, tok[:, None], (0, i))
+        rows = jnp.arange(k)
+        seen = seen.at[rows, tok].set(jnp.where(done, seen[rows, tok], True))
+        new_done = jnp.logical_or(done, is_eos)
+
+        slot = jnp.arange(max_cache_len)[None, :]
+        kv_valid = jnp.where(slot == cache.length, 1, kv_valid)
+        logits, cache = internlm2.decode_step(
+            params, cfg, input_ids=tok[:, None], cache=cache,
+            kv_valid_mask=kv_valid, policy=policy, use_flash=use_flash,
+            mesh=mesh,
+        )
+        return cache, logits, seen, top_scores, tokens, new_done, lengths, kv_valid, i + 1
+
+    def cond_fn(state):
+        done, i = state[5], state[8]
+        return jnp.logical_and(i < T, jnp.logical_not(jnp.all(done)))
+
+    init = (
+        cache,
+        logits,
+        jnp.zeros((k, V), jnp.bool_),
+        # only beam 0 is live at step 0 (all beams are the same prompt):
+        # -inf twins would otherwise duplicate the top candidate k times
+        jnp.concatenate([jnp.zeros((1,), jnp.float32),
+                         jnp.full((k - 1,), neg_inf)]),
+        jnp.full((k, T), gen_cfg.pad_token_id, jnp.int32),
+        jnp.zeros((k,), jnp.bool_),
+        jnp.zeros((k,), jnp.int32),
+        kv_valid,
+        jnp.zeros((), jnp.int32),
+    )
+    state = jax.lax.while_loop(cond_fn, step_fn, init)
+    scores, tokens, lengths = state[3], state[4], state[6]
+    # HF final ranking: sum logprob / length**length_penalty, penalty 1.0
+    norm = scores / jnp.maximum(lengths.astype(jnp.float32), 1.0)
+    best = jnp.argmax(norm)
+    return tokens[best][None], lengths[best][None]
 
 
 def pad_embeds_left(
