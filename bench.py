@@ -513,9 +513,17 @@ def main():
           f"{med:.2f}s ({100 * dev_wait / max(med, 1e-9):.0f}% — the host box "
           f"pipeline is {'hidden' if dev_wait > 0.15 * med else 'the critical path'})",
           file=sys.stderr)
+    # spans accumulate over every pipeline step since the warm loop started
+    # (warmup + profile + measured); report PER-BATCH so the number is
+    # directly comparable to the interval (r4's raw totals were misread as
+    # per-batch costs ~2.7x the interval)
+    n_steps = len(warm_iv) + len(intervals) + (2 if profile_dir else 0)
+    host_per_batch = {k: round(v / max(n_steps, 1), 3)
+                      for k, v in engine.timings.spans.items()}
     print(
-        f"[bench] host-stage totals: "
-        f"{ {k: round(v, 2) for k, v in engine.timings.spans.items()} }",
+        f"[bench] host-stage s/batch (over {n_steps} pipeline steps): "
+        f"{host_per_batch} -> total "
+        f"{round(sum(host_per_batch.values()), 2)}s of {med:.2f}s interval",
         file=sys.stderr,
     )
     print(
@@ -533,6 +541,7 @@ def main():
                 "p50_ttft_ms": round(p50_ttft, 1),
                 "interval_spread": round(spread, 3),
                 "device_wait_s": round(dev_wait, 2),
+                "host_stage_s_per_batch": host_per_batch,
                 "worst_interval_s": round(float(max(steady)), 2),
                 "batches": [round(float(v), 3) for v in intervals],
                 "converged": bool(did_converge),
