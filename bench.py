@@ -579,12 +579,15 @@ def main():
 # int8 run fills most of the 16 GB chip and must not inherit the previous
 # row's allocator state.
 ROWS = [
+    # batch swept on v5e (r5): b4 0.546, b8 0.771 imgs/s (+41%: the per-step
+    # 7.7 GB weight read amortizes over more rows), b12 OOMs the decode
+    # program by 93 MB (15.84/15.75 GB) — b8 is the single-chip knee
     ("flagship_8b_int8",
      {"BENCH_PRESET": "callireader-8b", "BENCH_QUANT": "int8",
-      "BENCH_BATCH": "4"}),
+      "BENCH_BATCH": "8"}),
     ("reference_geometry_8b_int8",
      {"BENCH_PRESET": "callireader-8b", "BENCH_QUANT": "int8-all",
-      "BENCH_BATCH": "4", "BENCH_CALLIALIGN": "0"}),
+      "BENCH_BATCH": "8", "BENCH_CALLIALIGN": "0"}),
     ("compact_2b_bf16", {}),
 ]
 ROW_TIMEOUT_S = int(os.environ.get("BENCH_ROW_TIMEOUT", "2400"))

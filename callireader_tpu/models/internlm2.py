@@ -236,14 +236,67 @@ def _int8_mm(h, q, scale, *, out_last: int):
     return (h @ q.astype(h.dtype)) * scale.reshape(out_last).astype(h.dtype)
 
 
+def _int8_mm_stacked(h, q, scale, layer):
+    """h @ dequant(q[layer], scale[layer]) with q the FULL (L, K, N) stacked
+    int8 array: inside the decode layer-scan the per-iteration weight slice
+    feeding a pallas custom call cannot fuse, so XLA copies each layer's
+    weights HBM->HBM every token (~3x the int8 bytes). The stacked kernel
+    addresses q in place via scalar-prefetch layer indexing instead."""
+    L, K, N = q.shape
+    rows = 1
+    for d in h.shape[:-1]:
+        rows *= d
+    mode = _int8_kernel_wanted(rows)
+    if mode is not None and N % 128 == 0 and K % 128 == 0:
+        from callireader_tpu.kernels.int8_matmul import int8_matmul_stacked
+
+        y = int8_matmul_stacked(
+            h.reshape(rows, K), q, scale.reshape(L, N), layer,
+            interpret=(mode == "interpret"),
+        )
+        return y.reshape(*h.shape[:-1], N)
+    ql = jax.lax.dynamic_index_in_dim(q, layer, 0, keepdims=False)
+    sl = jax.lax.dynamic_index_in_dim(scale.reshape(L, N), layer, 0,
+                                      keepdims=False)
+    return (h @ ql.astype(h.dtype)) * sl.astype(h.dtype)
+
+
+def _split_stacked_int8(layers):
+    """Partition the scan-stacked layer pytree: int8 weight leaves (``*_q``
+    and their matching ``*_scale``) are hoisted OUT of the scanned operand
+    and returned separately so ``lax.scan`` never materializes a
+    per-iteration HBM->HBM copy of them. The scan body re-injects them whole
+    (full (L, K, N) arrays) together with a ``_layer_idx`` so _proj addresses
+    the resting weights in place via the scalar-prefetch stacked kernel
+    (kernels/int8_matmul.py::int8_matmul_stacked). CALLIREADER_INT8_STACKED=0
+    disables hoisting (A/B + fallback knob): the scan then slices per-layer
+    weights and _proj uses the 2-D kernel."""
+    if _os.environ.get("CALLIREADER_INT8_STACKED") == "0":
+        return layers, {}
+    stacked = {
+        k: v for k, v in layers.items()
+        if k.endswith("_q")
+        or (k.endswith("_scale") and k[: -len("_scale")] + "_q" in layers)
+    }
+    if not stacked:
+        return layers, stacked
+    return {k: v for k, v in layers.items() if k not in stacked}, stacked
+
+
 def _proj(p, h, name: str):
     """Linear with optional LoRA adapter leaves ``{name}_lora_a/b`` (+scale,
     train/lora.py) and optional int8 weight-only quantization ``{name}_q`` +
     ``{name}_scale`` (runtime/quantize.py): y = (h @ q) * scale, via the
-    fused-dequant Pallas kernel on the decode path."""
+    fused-dequant Pallas kernel on the decode path. A 3-D ``{name}_q`` plus
+    a ``_layer_idx`` entry (decode layer-scan, see ``_split_stacked_int8``)
+    selects the stacked-weight kernel."""
     q = p.get(f"{name}_q")
     if q is not None:
-        y = _int8_mm(h, q, p[f"{name}_scale"], out_last=q.shape[-1])
+        li = p.get("_layer_idx")
+        if q.ndim == 3 and li is not None:
+            y = _int8_mm_stacked(h, q, p[f"{name}_scale"], li)
+        else:
+            y = _int8_mm(h, q, p[f"{name}_scale"], out_last=q.shape[-1])
     else:
         y = h @ p[name].astype(h.dtype)
     a = p.get(f"{name}_lora_a")
@@ -272,10 +325,11 @@ def _mlp(p, x, cfg: LLMConfig, policy: DTypePolicy):
 
 def _run_layers(params, cfg, x, cos, sin, attn_fn, policy, remat: bool = False):
     """Scan over stacked layers. ``attn_fn(q, k, v, layer_idx) -> (ctx, new_ck, new_cv)``."""
+    layers, stacked = _split_stacked_int8(params["layers"])
 
     def body(carry, scanned):
         x, idx = carry
-        p = scanned
+        p = dict(scanned, **stacked, _layer_idx=idx) if stacked else scanned
         h = rms_norm(x, p["attn_norm"], cfg.rms_norm_eps, policy)
         q, k, v = _qkv(p, h, cfg)
         q = apply_rope(q, cos, sin)
@@ -289,7 +343,7 @@ def _run_layers(params, cfg, x, cos, sin, attn_fn, policy, remat: bool = False):
 
     if remat:
         body = jax.checkpoint(body)
-    (x, _), kv = jax.lax.scan(body, (x, jnp.zeros((), jnp.int32)), params["layers"])
+    (x, _), kv = jax.lax.scan(body, (x, jnp.zeros((), jnp.int32)), layers)
     return x, kv
 
 
@@ -631,8 +685,12 @@ def decode_step_multislot(
     q_seg = jnp.zeros((B, S), jnp.int32)
     batch_idx = jnp.arange(B)
 
+    layers, stacked = _split_stacked_int8(params["layers"])
+
     def body(carry, p):
         x, ck, cv, idx = carry
+        if stacked:
+            p = dict(p, **stacked, _layer_idx=idx)
         h = rms_norm(x, p["attn_norm"], cfg.rms_norm_eps, policy)
         q, k, v = _qkv(p, h, cfg)
         q = apply_rope(q, cos, sin)
@@ -661,7 +719,7 @@ def decode_step_multislot(
         return (x, ck, cv, idx + 1), None
 
     (x, ck, cv, _), _ = jax.lax.scan(
-        body, (x, cache_k, cache_v, jnp.zeros((), jnp.int32)), params["layers"]
+        body, (x, cache_k, cache_v, jnp.zeros((), jnp.int32)), layers
     )
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
     logits = _logits(params, x, policy, cfg)[:, 0]
@@ -707,8 +765,12 @@ def decode_step(
     # single-token dynamic_update_slice — XLA aliases loop carries, so each
     # step writes O(B*Hkv*D) bytes instead of rebuilding the (L, ..., max_len)
     # buffers (which costs ~full-cache HBM traffic per token).
+    layers, stacked = _split_stacked_int8(params["layers"])
+
     def body(carry, p):
         x, ck, cv, idx = carry
+        if stacked:
+            p = dict(p, **stacked, _layer_idx=idx)
         h = rms_norm(x, p["attn_norm"], cfg.rms_norm_eps, policy)
         q, k, v = _qkv(p, h, cfg)
         q = apply_rope(q, cos, sin)
@@ -743,7 +805,7 @@ def decode_step(
         return (x, ck, cv, idx + 1), None
 
     (x, ck, cv, _), _ = jax.lax.scan(
-        body, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)), params["layers"]
+        body, (x, cache.k, cache.v, jnp.zeros((), jnp.int32)), layers
     )
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps, policy)
     logits = _logits(params, x, policy, cfg)[:, 0]
