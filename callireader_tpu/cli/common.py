@@ -181,6 +181,13 @@ def build_engine(
 
         params["llm"], llm_cfg = _illm.pad_vocab(params["llm"], cfg.llm, 128)
         cfg = dataclasses.replace(cfg, llm=llm_cfg)
+        if not mesh_spec:
+            # single-device: fuse QKV / gate-up int8 leaves — fewer, larger
+            # decode kernels. The fused out axis cannot tensor-shard, so any
+            # mesh keeps the unfused layout.
+            from callireader_tpu.runtime.quantize import fuse_llm_int8
+
+            params["llm"] = fuse_llm_int8(params["llm"])
         after = param_bytes(params["llm"])
         print(
             f"[engine] int8 weight-only quantization: LLM {before/1e9:.1f} GB -> {after/1e9:.1f} GB",

@@ -310,16 +310,30 @@ def _proj(p, h, name: str):
 def _qkv(p, h, cfg: LLMConfig):
     B, S, _ = h.shape
     Hq, Hkv, D = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
-    q = _proj(p, h, "wq").reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
-    k = _proj(p, h, "wk").reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
-    v = _proj(p, h, "wv").reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+    if "wqkv_q" in p:
+        # fused int8 QKV (runtime/quantize.fuse_llm_int8): one kernel launch,
+        # column-split equals the three separate matmuls exactly
+        y = _proj(p, h, "wqkv")
+        q, k, v = jnp.split(y, [Hq * D, (Hq + Hkv) * D], axis=-1)
+    else:
+        q = _proj(p, h, "wq")
+        k = _proj(p, h, "wk")
+        v = _proj(p, h, "wv")
+    q = q.reshape(B, S, Hq, D).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, Hkv, D).transpose(0, 2, 1, 3)
     return q, k, v
 
 
 def _mlp(p, x, cfg: LLMConfig, policy: DTypePolicy):
     h = rms_norm(x, p["ffn_norm"], cfg.rms_norm_eps, policy)
-    gate = jax.nn.silu(_proj(p, h, "w1"))
-    up = _proj(p, h, "w3")
+    if "w13_q" in p:
+        y = _proj(p, h, "w13")
+        g, up = jnp.split(y, 2, axis=-1)
+        gate = jax.nn.silu(g)
+    else:
+        gate = jax.nn.silu(_proj(p, h, "w1"))
+        up = _proj(p, h, "w3")
     return x + _proj(p, gate * up, "w2")
 
 

@@ -71,7 +71,9 @@ def init_all_params(
     if llm_int8:
         from callireader_tpu.runtime.quantize import init_llm_int8_device
 
-        llm = init_llm_int8_device(ks[0], cfg.llm, dtype=dtype)
+        # fused QKV/gate-up layout: int8 decode is kernel-launch-bound, and
+        # single-chip is the only consumer of this init path
+        llm = init_llm_int8_device(ks[0], cfg.llm, dtype=dtype, fused=True)
     else:
         llm = internlm2.init_params(ks[0], cfg.llm, dtype)
     out = {

@@ -117,6 +117,43 @@ def quantized_vit_logical_axes(
     return out
 
 
+def fuse_llm_int8(llm_params: Dict[str, Any]) -> Dict[str, Any]:
+    """Concatenate int8 Q/K/V (and gate/up) projections along the out axis
+    into single fused leaves ``wqkv_q`` / ``w13_q``.
+
+    Decode is per-pallas-call overhead-sensitive: 7 projection kernel
+    launches per layer x 32 layers dominates the gap to the HBM roofline
+    once weights stream as int8. Fusing drops that to 4 launches/layer with
+    EXACT numerics — per-out-channel scales concatenate losslessly, and the
+    matmul columns are independent, so splitting the fused output equals the
+    separate matmuls bit-for-bit.
+
+    Single-device serving only: the fused out axis interleaves q/k/v head
+    groups, which does not shard cleanly over a tensor mesh axis — callers
+    must not fuse when tensor parallelism is active. Skipped (returns the
+    tree unchanged) when LoRA adapter leaves are present, since adapters
+    attach to the unfused names. One-time device concat; checkpoints always
+    store the unfused layout."""
+    layers = llm_params.get("layers", {})
+    if any(k.endswith("_lora_a") for k in layers):
+        return llm_params
+    layers = dict(layers)
+    changed = False
+    for fused, parts in (("wqkv", ("wq", "wk", "wv")), ("w13", ("w1", "w3"))):
+        if f"{fused}_q" in layers or not all(f"{p}_q" in layers for p in parts):
+            continue
+        layers[f"{fused}_q"] = jnp.concatenate(
+            [layers.pop(f"{p}_q") for p in parts], axis=-1)
+        layers[f"{fused}_scale"] = jnp.concatenate(
+            [layers.pop(f"{p}_scale") for p in parts], axis=-1)
+        changed = True
+    if not changed:
+        return llm_params
+    out = dict(llm_params)
+    out["layers"] = layers
+    return out
+
+
 def dequantize_llm_int8(
     llm_params: Dict[str, Any],
     *,
@@ -153,6 +190,15 @@ def quantized_logical_axes(axes: Dict[str, Any], params: Dict[str, Any]) -> Dict
             base = layers.pop(name, ("stack", "embed", "mlp"))
             layers[f"{name}_q"] = base
             layers[f"{name}_scale"] = ("stack", None, base[-1])
+    # fused single-chip leaves (fuse_llm_int8): the concatenated out axis
+    # crosses q/k/v (gate/up) boundaries, so it must stay unsharded — fusion
+    # is gated to meshes without tensor parallelism
+    for fused, dropped in (("wqkv", ("wq", "wk", "wv")), ("w13", ("w1", "w3"))):
+        if f"{fused}_q" in params["layers"]:
+            for p in dropped:
+                layers.pop(p, None)
+            layers[f"{fused}_q"] = ("stack", "embed", None)
+            layers[f"{fused}_scale"] = ("stack", None, None)
     out = dict(axes)
     out["layers"] = layers
     for name in ("tok_embeddings", "output"):
@@ -163,7 +209,9 @@ def quantized_logical_axes(axes: Dict[str, Any], params: Dict[str, Any]) -> Dict
     return out
 
 
-def init_llm_int8_device(key: jax.Array, cfg, *, dtype=jnp.bfloat16) -> Dict[str, Any]:
+def init_llm_int8_device(
+    key: jax.Array, cfg, *, dtype=jnp.bfloat16, fused: bool = False
+) -> Dict[str, Any]:
     """Random-init the LLM DIRECTLY as int8+scales, one leaf at a time on
     device. quantize_llm_int8(init_params(...)) needs the full bf16 tree
     resident first — 15.5 GB for the 8B flagship, which is exactly what int8
@@ -172,7 +220,11 @@ def init_llm_int8_device(key: jax.Array, cfg, *, dtype=jnp.bfloat16) -> Dict[str
     program (XLA frees the bf16 intermediate at program exit), so peak HBM is
     accumulated-int8 + one bf16 leaf (~3.8 GB for the 8B mlp stack).
     Same tree structure/dtypes as quantize_llm_int8 output (different RNG
-    stream — random weights are for pipeline/perf testing only)."""
+    stream — random weights are for pipeline/perf testing only).
+    ``fused``: emit the fuse_llm_int8 layout (wqkv_q / w13_q) directly —
+    per-out-channel scales make joint quantization of the fused leaf exactly
+    equivalent to quantize-then-concatenate, without the concat's transient
+    HBM copy (3.8 GB on the 8B)."""
     import functools
 
     L, E, M = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
@@ -189,15 +241,24 @@ def init_llm_int8_device(key: jax.Array, cfg, *, dtype=jnp.bfloat16) -> Dict[str
         return q, scale.astype(jnp.float32)
 
     ks = jax.random.split(key, 9)
-    shapes = {
-        "wq": (L, E, Hq * D), "wk": (L, E, Hkv * D), "wv": (L, E, Hkv * D),
-        "wo": (L, Hq * D, E), "w1": (L, E, M), "w3": (L, E, M), "w2": (L, M, E),
-    }
+    if fused:
+        shapes = {
+            "wqkv": (L, E, (Hq + 2 * Hkv) * D), "wo": (L, Hq * D, E),
+            "w13": (L, E, 2 * M), "w2": (L, M, E),
+        }
+        targets = ("wqkv", "wo", "w13", "w2")
+    else:
+        shapes = {
+            "wq": (L, E, Hq * D), "wk": (L, E, Hkv * D), "wv": (L, E, Hkv * D),
+            "wo": (L, Hq * D, E), "w1": (L, E, M), "w3": (L, E, M),
+            "w2": (L, M, E),
+        }
+        targets = QUANT_TARGETS
     layers: Dict[str, Any] = {
         "attn_norm": jnp.ones((L, E), dtype),
         "ffn_norm": jnp.ones((L, E), dtype),
     }
-    for i, name in enumerate(QUANT_TARGETS):
+    for i, name in enumerate(targets):
         q, s = _qleaf(ks[i], shapes[name], (1,))
         layers[f"{name}_q"] = q
         layers[f"{name}_scale"] = s

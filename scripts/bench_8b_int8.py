@@ -77,9 +77,12 @@ def main(argv=None):
         "attn_norm": jnp.ones((L, E), jnp.bfloat16),
         "ffn_norm": jnp.ones((L, E), jnp.bfloat16),
     }
+    # fused QKV / gate-up layout (runtime/quantize.fuse_llm_int8 semantics):
+    # per-out-channel scales make joint quantization identical to
+    # quantize-then-concat, and decode runs 4 projection kernels/layer not 7
     for name, shape in (
-        ("wq", (L, E, Hq * D)), ("wk", (L, E, Hkv * D)), ("wv", (L, E, Hkv * D)),
-        ("wo", (L, Hq * D, E)), ("w1", (L, E, M)), ("w3", (L, E, M)), ("w2", (L, M, E)),
+        ("wqkv", (L, E, (Hq + 2 * Hkv) * D)), ("wo", (L, Hq * D, E)),
+        ("w13", (L, E, 2 * M)), ("w2", (L, M, E)),
     ):
         q, s = ship(name, shape, 1)
         layers[f"{name}_q"] = q

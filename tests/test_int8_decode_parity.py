@@ -60,6 +60,28 @@ def test_kernel_matches_xla_path(monkeypatch):
         np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-4)
 
 
+def test_fused_qkv_mlp_matches_unfused(monkeypatch):
+    """The fused wqkv/w13 serving layout (runtime/quantize.fuse_llm_int8)
+    must reproduce the unfused decode exactly — same int8 values, and each
+    output column's accumulation is unchanged by the concat — on both the
+    XLA path and the Pallas kernel (interpret)."""
+    from callireader_tpu.runtime.quantize import fuse_llm_int8
+
+    params = internlm2.init_params(jax.random.PRNGKey(2), CFG, jnp.float32)
+    qparams = quantize_llm_int8(params)
+    qparams, cfg = internlm2.pad_vocab(qparams, CFG, 128)
+    fused = dict(qparams)
+    fused["layers"] = fuse_llm_int8({"layers": qparams["layers"]})["layers"]
+    assert "wqkv_q" in fused["layers"] and "w13_q" in fused["layers"]
+
+    for mode in ("0", "interpret"):
+        toks_u, logits_u = _run(qparams, cfg, mode, monkeypatch)
+        toks_f, logits_f = _run(fused, cfg, mode, monkeypatch)
+        np.testing.assert_array_equal(toks_f, toks_u)
+        for a, b in zip(logits_f, logits_u):
+            np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+
 def test_pad_rows_never_win():
     params = internlm2.init_params(jax.random.PRNGKey(1), CFG, jnp.float32)
     qparams = quantize_llm_int8(params)

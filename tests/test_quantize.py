@@ -135,3 +135,43 @@ def test_init_llm_int8_device_matches_quantized_tree():
         attention_mask=jnp.ones((1, 8), jnp.int32), max_len=16, use_flash=False,
     )
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_fuse_llm_int8_structure_and_exactness():
+    """fuse_llm_int8 (single-device serving layout): concatenated QKV /
+    gate-up int8 leaves must be bit-identical to the unfused leaves (per-out-
+    channel scales concat losslessly), and init_llm_int8_device(fused=True)
+    must produce the exact fused tree structure/shapes/dtypes."""
+    import jax.numpy as jnp
+
+    from callireader_tpu.core.config import callireader_tiny
+    from callireader_tpu.models import internlm2
+
+    cfg = callireader_tiny().llm
+    base = quantize.quantize_llm_int8(
+        internlm2.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+    )
+    fused = quantize.fuse_llm_int8(base)
+    lay, flay = base["layers"], fused["layers"]
+    for gone in ("wq_q", "wk_q", "wv_q", "w1_q", "w3_q"):
+        assert gone not in flay
+    np.testing.assert_array_equal(
+        np.asarray(flay["wqkv_q"]),
+        np.concatenate([np.asarray(lay["wq_q"]), np.asarray(lay["wk_q"]),
+                        np.asarray(lay["wv_q"])], axis=-1))
+    np.testing.assert_array_equal(
+        np.asarray(flay["w13_scale"]),
+        np.concatenate([np.asarray(lay["w1_scale"]),
+                        np.asarray(lay["w3_scale"])], axis=-1))
+    # fused init path matches the fused tree structure exactly
+    p8 = quantize.init_llm_int8_device(jax.random.PRNGKey(0), cfg, fused=True)
+    assert jax.tree.structure(p8) == jax.tree.structure(fused)
+    a = {jax.tree_util.keystr(k): (v.shape, str(v.dtype))
+         for k, v in jax.tree_util.tree_leaves_with_path(p8)}
+    b = {jax.tree_util.keystr(k): (v.shape, str(v.dtype))
+         for k, v in jax.tree_util.tree_leaves_with_path(fused)}
+    assert a == b
+    # LoRA-bearing trees are left alone (adapters attach to unfused names)
+    with_lora = dict(base)
+    with_lora["layers"] = dict(base["layers"], wq_lora_a=jnp.zeros((2, 4, 2)))
+    assert quantize.fuse_llm_int8(with_lora) is with_lora
